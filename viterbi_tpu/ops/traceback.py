@@ -1,0 +1,139 @@
+"""Traceback (chainback) — serial-scan and block-parallel variants.
+
+The reference's chainback is an inherently serial register walk
+(chainback.inc:18-41, deconvolve.cpp:416-435): from state 0 at the end
+of the terminated trellis, each step reads the decision bit of the
+current state and hops to the predecessor ``(state >> 1) | (bit << 5)``;
+the bit is the decoded data bit. SURVEY.md §7.3 calls out restructuring
+this for the TPU as a hard part.
+
+Two implementations, both bit-exact vs. the golden model:
+
+  * ``chainback_scan`` — a ``lax.scan`` walk, batch-parallel over frames
+    but sequential over the ``framebits`` steps.
+  * ``chainback_blocked`` — three-phase block decomposition: (1) compose
+    per-step predecessor maps into per-block maps, parallel over blocks,
+    (2) a short sequential scan over block boundary states, (3) re-walk
+    every block in parallel given its entry state. Sequential depth drops
+    from T to ~2*BLOCK + T/BLOCK while every phase stays vectorized.
+
+Decision layout consumed here matches ops.acs: uint32[T, B, 2], bit s of
+word s//32 = decision for state s.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+_PACK_WEIGHTS = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))  # MSB first
+
+
+def packbits_msb(bits: jax.Array) -> jax.Array:
+    """[..., nbits] {0,1} ints -> [..., nbits//8] uint8, MSB-first."""
+    b = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 8, 8)
+    return (b * _PACK_WEIGHTS).sum(axis=-1).astype(jnp.uint8)
+
+
+def _decision_bit(dec_words: jax.Array, state: jax.Array) -> jax.Array:
+    """dec_words: [B, 2] uint32; state: [B] int32 -> bit [B] int32."""
+    word = jnp.take_along_axis(
+        dec_words.astype(jnp.int32), (state >> 5)[:, None], axis=1)[:, 0]
+    return (word >> (state & 31)) & 1
+
+
+@partial(jax.jit, static_argnames=("framebits",))
+def chainback_scan(decisions: jax.Array, framebits: int) -> jax.Array:
+    """Serial-walk traceback. decisions: uint32[framebits+6, B, 2].
+
+    Returns uint8[B, framebits//8] MSB-first packed data bits.
+    """
+    B = decisions.shape[1]
+    # Steps 0..5 are never read (their bits predate the frame); walk
+    # indices framebits+5 .. 6 == reversed(decisions[6:]).
+    rev = jnp.flip(decisions[C.TAIL_BITS:C.TAIL_BITS + framebits], axis=0)
+
+    def step(state, dec_t):
+        k = _decision_bit(dec_t, state)
+        state = (state >> 1) | (k << 5)
+        return state, k
+
+    _, ks = jax.lax.scan(step, jnp.zeros(B, dtype=jnp.int32), rev)
+    bits = jnp.flip(ks, axis=0).T                     # [B, framebits]
+    return packbits_msb(bits)
+
+
+# ---------------------------------------------------------------------------
+# Block-parallel traceback
+# ---------------------------------------------------------------------------
+
+
+def _pred_maps(decisions: jax.Array) -> jax.Array:
+    """Expand decision words into predecessor maps.
+
+    decisions: uint32[T, B, 2] -> int32[T, B, 64] where entry s is the
+    predecessor state of s: (s >> 1) | (decision_bit(s) << 5).
+    """
+    states = jnp.arange(C.NUM_STATES, dtype=jnp.int32)
+    words = decisions.astype(jnp.int32)                # [T, B, 2]
+    word = words[..., states >> 5]                     # [T, B, 64]
+    k = (word >> (states & 31)) & 1
+    return (states >> 1) | (k << 5)
+
+
+@partial(jax.jit, static_argnames=("framebits", "block"))
+def chainback_blocked(decisions: jax.Array, framebits: int,
+                      block: int = 64) -> jax.Array:
+    """Block-parallel traceback, bit-exact vs ``chainback_scan``.
+
+    ``framebits`` must be a multiple of ``block`` (DAB framebits are
+    multiples of 24*32; callers pick a compatible block).
+    """
+    assert framebits % block == 0
+    nblocks = framebits // block
+    B = decisions.shape[1]
+
+    maps = _pred_maps(decisions[C.TAIL_BITS:C.TAIL_BITS + framebits])
+    blocks = maps.reshape(nblocks, block, B, C.NUM_STATES)
+
+    # Phase 1: per-block composed map (walking backward within a block),
+    # parallel over blocks. comp[n, b, s] = state at block n's start given
+    # state s at block n's end.
+    def compose(comp, step_map):
+        # comp: [nblocks, B, 64]; step_map: [nblocks, B, 64]
+        return jnp.take_along_axis(step_map, comp, axis=-1), None
+
+    ident = jnp.broadcast_to(jnp.arange(C.NUM_STATES, dtype=jnp.int32),
+                             (nblocks, B, C.NUM_STATES))
+    rev_in_block = jnp.flip(blocks, axis=1).transpose(1, 0, 2, 3)
+    comp, _ = jax.lax.scan(lambda c, m: compose(c, m), ident, rev_in_block)
+
+    # Phase 2: boundary states. Walk block maps from the last block
+    # (end state 0) to the first: state at the END of each block.
+    def boundary(state, comp_n):                       # state: [B]
+        new = jnp.take_along_axis(comp_n, state[:, None], axis=-1)[:, 0]
+        return new, state
+
+    _, end_states = jax.lax.scan(boundary, jnp.zeros(B, dtype=jnp.int32),
+                                 jnp.flip(comp, axis=0))
+    end_states = jnp.flip(end_states, axis=0)          # [nblocks, B]
+
+    # Phase 3: re-walk every block in parallel given its end state.
+    def walk(state, step_map):                         # [nblocks, B]
+        k = jnp.take_along_axis(step_map, state[:, None], axis=-1)[:, 0] >> 5
+        new = (state >> 1) | (k << 5)
+        return new, k
+
+    rev_steps = jnp.flip(blocks, axis=1).transpose(1, 0, 2, 3)
+    _, ks = jax.lax.scan(
+        lambda s, m: walk(s, m.reshape(-1, C.NUM_STATES)),
+        end_states.reshape(-1),
+        rev_steps.reshape(block, nblocks * B, C.NUM_STATES))
+    # ks: [block, nblocks*B] reversed within block -> [B, framebits]
+    bits = jnp.flip(ks.reshape(block, nblocks, B), axis=0)
+    bits = bits.transpose(2, 1, 0).reshape(B, framebits)
+    return packbits_msb(bits)
