@@ -1,0 +1,215 @@
+"""Batched RS(120,110) decoder over GF(256), vectorized across codewords.
+
+TPU-native reformulation of the reference's scalar DECODE_RS
+(rschecksf.cpp:198-377): the serial loop over ``RSDims`` interleaved
+codewords (rschecksf.cpp:74) becomes the batch axis, and every
+data-dependent branch/early-exit of Berlekamp-Massey, Chien and Forney
+becomes masked full-length execution (SURVEY.md §7.3) — results are
+bit-identical to the scalar oracle.
+
+GF(256) arithmetic uses the reference's log/antilog scheme with the
+768-entry pre-reduced antilog table (dllmain.cpp:124-150) so all index
+sums (max 763) gather directly. Syndromes are computed in closed form
+(polynomial evaluation with a precomputed Vandermonde-style log table)
+rather than Horner recurrence — GF arithmetic is exact, so the result is
+identical while exposing the 120-wide reduction to the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+_ATO_NP, _IOF_NP = C.gf256_tables()
+_A = 255  # "log of zero" sentinel (c_nn)
+
+# alpha-power exponents for the syndrome evaluation: codeword byte j is the
+# coefficient of x^(119-j); syndrome i evaluates at alpha^i, so byte j
+# contributes data[j] * alpha^(i*(119-j)).
+_SYN_EXP = np.array(
+    [[(i * (C.RS_N - 1 - j)) % 255 for i in range(C.RS_NROOTS)]
+     for j in range(C.RS_N)], dtype=np.int32)
+
+
+def _tables():
+    return jnp.asarray(_ATO_NP.astype(np.int32)), \
+        jnp.asarray(_IOF_NP.astype(np.int32))
+
+
+def _mod255(x: jax.Array) -> jax.Array:
+    """Branch-free x % 255 with the reference's uint32-wrap semantics."""
+    prod = x.astype(jnp.uint32) * jnp.uint32(0x1010102)
+    return (prod >> 24).astype(jnp.int32)
+
+
+def _xor_reduce(x: jax.Array, axis: int) -> jax.Array:
+    return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_xor, (axis,))
+
+
+@jax.jit
+def rs_decode_blocks(blocks: jax.Array):
+    """Decode a batch of shortened RS(120,110) codewords.
+
+    ``blocks``: uint8/int32 [B, 120]. Returns ``(count, corrected)``:
+      * count int32[B]: corrected byte errors per codeword, or -1
+      * corrected int32[B, 120]: corrected codewords (unchanged where
+        count == -1 or 0), values in [0, 255].
+    Bit-exact vs golden.rs_decode_codeword for every codeword.
+    """
+    ato, iof = _tables()
+    data = blocks.astype(jnp.int32)
+    B = data.shape[0]
+    NR = C.RS_NROOTS
+
+    # ---- Syndromes -------------------------------------------------------
+    log_d = iof[data]                                        # [B, 120]
+    terms = ato[log_d[:, :, None] + jnp.asarray(_SYN_EXP)[None]]
+    terms = jnp.where((data == 0)[:, :, None], 0, terms)     # zero annihilates
+    s = _xor_reduce(terms, axis=1)                           # [B, 10]
+    syn_zero = jnp.all(s == 0, axis=1)                       # [B]
+    slog = iof[s]                                            # [B, 10] log form
+
+    # ---- Berlekamp-Massey (10 masked rounds) -----------------------------
+    lam = jnp.zeros((B, NR + 1), jnp.int32).at[:, 0].set(1)  # poly form
+    b = jnp.full((B, NR + 1), _A, jnp.int32).at[:, 0].set(0)  # log form
+    el = jnp.zeros((B,), jnp.int32)
+    idx = jnp.arange(NR + 1, dtype=jnp.int32)
+
+    for r in range(1, NR + 1):  # static unroll, masks handle divergence
+        # discrepancy: XOR over i < r of lam[i] * s[r-1-i]
+        lam_log = iof[lam]                                   # [B, 11]
+        s_take = slog[:, (r - 1 - np.arange(NR + 1)) % NR]   # [B, 11]
+        dterm = ato[lam_log + s_take]
+        valid = (np.arange(NR + 1) < r)[None, :] & (lam != 0) & \
+            (s_take != _A)
+        discr = _xor_reduce(jnp.where(valid, dterm, 0), axis=1)
+        dlog = iof[discr]                                    # [B]
+        zero_d = dlog == _A
+
+        shift_b = jnp.concatenate(
+            [jnp.full((B, 1), _A, jnp.int32), b[:, :-1]], axis=1)
+
+        # t(x) = lambda(x) - discr * x * b(x)
+        tb = jnp.where(b != _A, ato[dlog[:, None] + b], 0)
+        t = lam ^ jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), tb[:, :-1]], axis=1)
+
+        upd = (2 * el <= r - 1) & ~zero_d                    # register swap
+        b_swap = jnp.where(lam == 0, _A,
+                           _mod255(iof[lam] - dlog[:, None] + _A))
+        new_b = jnp.where(zero_d[:, None], shift_b,
+                          jnp.where(upd[:, None], b_swap, shift_b))
+        new_lam = jnp.where(zero_d[:, None], lam, t)
+        el = jnp.where(upd, r - el, el)
+        lam, b = new_lam, new_b
+
+    lam_log = iof[lam]                                       # [B, 11]
+    deg_lambda = jnp.max(jnp.where(lam_log != _A, idx[None, :], 0), axis=1)
+
+    # ---- Chien search (closed form over all 255 field elements) ----------
+    i_all = jnp.arange(1, C.RS_NN + 1, dtype=jnp.int32)      # [255]
+    j_all = np.arange(1, NR + 1, dtype=np.int32)             # [10]
+    expo = _mod255(lam_log[:, None, 1:] + i_all[None, :, None] * j_all)
+    cterm = ato[expo]                                        # [B, 255, 10]
+    cvalid = (lam_log[:, None, 1:] != _A) & \
+        (j_all[None, None, :] <= deg_lambda[:, None, None])
+    q = 1 ^ _xor_reduce(jnp.where(cvalid, cterm, 0), axis=2)  # [B, 255]
+    is_root = q == 0
+    count = jnp.sum(is_root, axis=1).astype(jnp.int32)
+    correctable = count == deg_lambda
+
+    # first <=10 roots in ascending order, as in the reference's abort-at-
+    # deg_lambda search (a degree-d poly has at most d<=10 roots, so taking
+    # the 10 smallest is equivalent).
+    root_keys = jnp.where(is_root, i_all[None, :], jnp.int32(999))
+    roots = jax.lax.top_k(-root_keys, NR)[0] * -1            # [B, 10] asc
+    root_ok = roots < 999
+
+    # ---- Omega = s(x) * lambda(x) mod x^10, log form ----------------------
+    ii = np.arange(NR)[:, None]          # omega coefficient index i
+    jj = np.arange(NR + 1)[None, :]      # lambda index j
+    pair_ok = (jj <= ii)
+    s_idx = np.where(pair_ok, ii - jj, 0)
+    oterm = ato[slog[:, s_idx] + lam_log[:, jj]]
+    ovalid = pair_ok[None] & (slog[:, s_idx] != _A) & (lam_log[:, jj] != _A)
+    omega = _xor_reduce(jnp.where(ovalid, oterm, 0), axis=2)  # [B, 10]
+    omega_log = iof[omega]
+
+    # ---- Forney error values at each root --------------------------------
+    deg_omega = deg_lambda - 1
+    k = np.arange(NR, dtype=np.int32)                        # [10]
+    # num1 = omega(inv X) style sum, per root slot
+    n1_exp = _mod255(omega_log[:, None, :] + k[None, None, :] *
+                     roots[:, :, None])
+    n1_term = ato[n1_exp]                                    # [B, 10, 10]
+    n1_valid = (omega_log[:, None, :] != _A) & \
+        (k[None, None, :] <= deg_omega[:, None, None])
+    num1 = _xor_reduce(jnp.where(n1_valid, n1_term, 0), axis=2)  # [B, 10r]
+
+    num2 = ato[C.RS_NN - roots]                              # [B, 10]
+
+    keven = np.arange(0, NR, 2, dtype=np.int32)              # [5]
+    top = jnp.minimum(deg_lambda, NR - 1) & ~1               # [B]
+    d_exp = _mod255(lam_log[:, None, keven + 1] + keven[None, None, :] *
+                    roots[:, :, None])
+    d_term = ato[d_exp]                                      # [B, 10, 5]
+    d_valid = (lam_log[:, None, keven + 1] != _A) & \
+        (keven[None, None, :] <= top[:, None, None])
+    den = _xor_reduce(jnp.where(d_valid, d_term, 0), axis=2)  # [B, 10]
+
+    tmp = iof[num1] + iof[num2] + (C.RS_NN - iof[den])
+    errval = ato[tmp]                                        # [B, 10]
+
+    pos = roots - 1 - C.RS_PAD                               # [B, 10]
+    apply = root_ok & (roots >= C.RS_PAD + 1) & (num1 != 0) & \
+        correctable[:, None] & ~syn_zero[:, None]
+    onehot = (pos[:, :, None] ==
+              jnp.arange(C.RS_N, dtype=jnp.int32)[None, None, :])
+    corr = jnp.sum(jnp.where(apply[:, :, None] & onehot, errval[:, :, None],
+                             0), axis=1)                     # [B, 120]
+    corrected = data ^ corr
+
+    count = jnp.where(syn_zero, 0, jnp.where(correctable, count, -1))
+    corrected = jnp.where((count[:, None] >= 0), corrected, data)
+    return count, corrected
+
+
+def deinterleave(p: jax.Array, rs_dims: int) -> jax.Array:
+    """[rs_dims*120] byte-interleaved superframe -> [rs_dims, 120] blocks."""
+    return p.reshape(C.RS_N, rs_dims).T
+
+
+def interleave_data(blocks: jax.Array, rs_dims: int) -> jax.Array:
+    """[rs_dims, 110] corrected data -> [rs_dims*110] interleaved output."""
+    return blocks.T.reshape(rs_dims * C.RS_KK)
+
+
+@partial(jax.jit, static_argnames=("rs_dims",))
+def rs_check_superframe(p: jax.Array, rs_dims: int):
+    """Batched twin of RScheckSuperframe (rschecksf.cpp:64-93).
+
+    ``p``: uint8[rs_dims * 120]. Returns (errors, out):
+      * errors int32: total corrected bytes, or -1 if any codeword is
+        uncorrectable (reference aborts at the *first* such codeword)
+      * out uint8[rs_dims * 110]: corrected data. On -1 the reference
+        leaves output beyond the failed codeword unwritten; here
+        codewords from the first failure onward are zero-filled.
+    """
+    blocks = deinterleave(p.astype(jnp.int32), rs_dims)
+    count, corrected = rs_decode_blocks(blocks)
+    failed = count < 0
+    any_failed = jnp.any(failed)
+    first_fail = jnp.argmax(failed)  # 0 if none, but gated by any_failed
+    errors = jnp.where(any_failed, -1, jnp.sum(count))
+    # zero out output for codewords at/after the first failure
+    cw_idx = jnp.arange(rs_dims, dtype=jnp.int32)
+    writable = jnp.where(any_failed, cw_idx < first_fail,
+                         jnp.ones_like(cw_idx, dtype=bool))
+    out_blocks = jnp.where(writable[:, None], corrected[:, :C.RS_KK], 0)
+    out = interleave_data(out_blocks, rs_dims).astype(jnp.uint8)
+    return errors.astype(jnp.int32), out
