@@ -16,5 +16,13 @@ correspondence.
 
 from . import constants  # noqa: F401
 from . import golden     # noqa: F401
+from .api import (  # noqa: F401
+    deconvolve,
+    deconvolve_batch,
+    get_caps,
+    initialize,
+    rs_check_superframe,
+    wake_up,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,149 @@
+"""L4 public API — the TPU-native twin of the DLL export surface
+(viterbi.def:4-8): ``deconvolve``, ``rs_check_superframe``,
+``initialize``, ``get_caps``, ``wake_up``.
+
+Return-code contracts match the reference exactly:
+  * ``deconvolve`` returns 0 on success; 1 when the safe-mode latch is
+    set or an input that would have crashed the reference is detected
+    (the vectored-exception-handler path, exc_handler.cpp:150-250);
+    decoded MSB-first packed bytes are written into ``output``.
+  * ``rs_check_superframe`` returns the total number of corrected byte
+    errors, or -1 on the first uncorrectable codeword
+    (rschecksf.cpp:85-92).
+  * ``initialize`` re-reads the config and re-arms safe mode
+    (dllmain.cpp:156-160).
+
+Batched entry points (``deconvolve_batch``, ``rs_decode_blocks``) are
+the TPU-idiomatic fast path; the scalar signatures exist for drop-in
+behavioral parity and for the fault-injection tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+from .runtime import calllog, dispatch, faults
+
+_SAFE = faults.SAFE_MODE_RETVAL
+
+
+def initialize(config_path: str | None = None) -> bool:
+    """Re-init: clears the safe-mode latch, re-reads config, re-probes
+    the backend. Safe to call any time (QIRX calls it on every receiver
+    start)."""
+    ok = dispatch.initialize(config_path)
+    cfg = dispatch.state().config
+    calllog.configure(cfg.log_calls, cfg.log_symbols)
+    return ok
+
+
+def get_caps() -> int:
+    """Backend capability bitmask (analog of GetCPUCaps)."""
+    return dispatch.get_caps()
+
+
+def wake_up(framebits: int = 3072, batch: int = 1) -> None:
+    """Pre-compile the decode path for a call shape — the analog of
+    WakeUpYMM's pre-warming of cold SIMD stages (dllmain.cpp:45-56);
+    here the cold stage is XLA compilation."""
+    syms = np.zeros((batch, C.RATE * (framebits + C.TAIL_BITS)),
+                    dtype=np.int32)
+    _decode_batch(syms, framebits)
+
+
+def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
+    """Dispatch a [B, 4*(framebits+6)] int array through the selected
+    variant. Returns uint8[B, ceil(framebits/8)] packed bytes."""
+    import jax.numpy as jnp
+
+    from .ops import acs, traceback
+
+    st = dispatch.state()
+    syms = jnp.asarray(symbols, dtype=jnp.int32)
+    decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
+    variant = dispatch.VARIANTS[st.variant]
+    if variant in ("pallas", "pallas_fused", "jax_blocked"):
+        block = st.config.traceback_block
+        if framebits % block != 0:
+            block = next(b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1)
+                         if framebits % b == 0)
+        out = traceback.chainback_blocked(decisions, framebits, block=block)
+    else:
+        out = traceback.chainback_scan(decisions, framebits)
+    return np.asarray(out)
+
+
+@faults.guarded(_SAFE)
+def deconvolve(framebits: int, symbols, input_length: int = 0,
+               output: np.ndarray | None = None) -> int:
+    """Decode one frame. Signature mirrors the DLL export
+    (viterbi.h:113); ``input_length`` is unused there too.
+
+    ``symbols``: array-like of >= 4*(framebits+6) soft symbols (only the
+    low byte of each is significant). ``output``: optional uint8 buffer
+    of >= ceil(framebits/8) bytes, written in place.
+    """
+    if symbols is None or framebits is None:
+        raise faults.ValidationError("null symbol buffer")
+    framebits = int(framebits)
+    if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
+        raise faults.ValidationError(f"bad framebits {framebits}")
+    syms = np.asarray(symbols).reshape(-1)
+    if syms.size < C.RATE * (framebits + C.TAIL_BITS):
+        raise faults.ValidationError("symbol buffer too short")
+    with calllog.record("deco", framebits=framebits) as rec:
+        rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)])
+        out = _decode_batch(syms[None, :], framebits)[0]
+    if output is not None:
+        output[: out.size] = out
+    deconvolve.last_output = out  # functional access for Python callers
+    return 0
+
+
+@faults.guarded((_SAFE, None))
+def deconvolve_batch(framebits: int, symbols_batch) -> tuple[int, np.ndarray]:
+    """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, fb//8])."""
+    if symbols_batch is None:
+        raise faults.ValidationError("null symbol buffer")
+    framebits = int(framebits)
+    if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
+        raise faults.ValidationError(f"bad framebits {framebits}")
+    syms = np.asarray(symbols_batch)
+    if syms.ndim != 2 or syms.shape[1] < C.RATE * (framebits + C.TAIL_BITS):
+        raise faults.ValidationError("bad symbol batch shape")
+    with calllog.record("deco", framebits=framebits, batch=syms.shape[0]):
+        out = _decode_batch(syms, framebits)
+    return 0, out
+
+
+@faults.guarded(-1)
+def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
+                        out_vector: np.ndarray | None = None) -> int:
+    """Check/correct a DAB+ superframe (rschecksf.cpp:64-93).
+
+    ``p``: array-like of rs_dims*120 bytes, byte-interleaved. Corrected
+    rs_dims*110 data bytes are written to ``out_vector`` if given (and
+    exposed as ``rs_check_superframe.last_output``). ``start_ix`` is
+    accepted and ignored, as in the reference (rschecksf.cpp:69).
+    """
+    import jax.numpy as jnp
+
+    from .ops import rs as rs_ops
+
+    if p is None or not rs_dims or rs_dims < 0:
+        raise faults.ValidationError("null superframe buffer")
+    rs_dims = int(rs_dims)
+    buf = np.asarray(p).reshape(-1)
+    if buf.size < rs_dims * C.RS_N:
+        raise faults.ValidationError("superframe buffer too short")
+    with calllog.record("rscs", rs_dims=rs_dims) as rec:
+        rec.capture_symbols(buf[: rs_dims * C.RS_N])
+        errors, out = rs_ops.rs_check_superframe(
+            jnp.asarray(buf[: rs_dims * C.RS_N], dtype=jnp.int32), rs_dims)
+    errors = int(errors)
+    out = np.asarray(out)
+    if out_vector is not None and errors != -1:
+        out_vector[: out.size] = out
+    rs_check_superframe.last_output = out
+    return errors

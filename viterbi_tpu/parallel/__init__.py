@@ -1,0 +1,3 @@
+from . import mesh       # noqa: F401
+from . import batch      # noqa: F401
+from . import streaming  # noqa: F401

@@ -1,0 +1,172 @@
+"""Block-overlapped streaming Viterbi — the sequence-parallel (SP/CP)
+analog for trellis decoding (SURVEY.md §2.7 row 3, §5 "long-context").
+
+One long terminated symbol stream is split into ``n_seq`` time blocks
+across the mesh's "seq" axis. Each device:
+
+  1. runs a short warm-up ACS over the tail of its own block from
+     uniform metrics (the decoder forgets its initial condition in
+     ~5·K steps, so the resulting boundary metrics are effectively
+     exact),
+  2. hands those boundary metrics to its right neighbor with a
+     ``ppermute`` over the ICI ring,
+  3. re-runs ACS over its block *plus* an overlap region received from
+     its right neighbor (symbols prefix, one more ``ppermute``), seeded
+     with the received boundary metrics,
+  4. traces back from the overlap end (best-metric state; the final
+     block anchors at state 0 of the true termination) and keeps only
+     its own block's bits — overlap truncation absorbs the anchor
+     uncertainty.
+
+Total communication: two ppermutes of [B, ...] tiles per stream,
+regardless of stream length. No reference analog exists (the DLL
+re-initializes metrics per 9216-bit frame); this is the TPU-native
+mechanism for streams ≫ MAX_FRAMEBITS.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .. import constants as C
+from ..ops import acs, traceback as tb
+from . import mesh as mesh_mod
+
+DEFAULT_OVERLAP = 70   # steps; >= TAIL_BITS + ~5K truncation margin, even
+WARMUP_STEPS = 128     # pass-1 ACS length for boundary-metric estimation
+
+
+def _uniform_metrics(batch: int) -> jax.Array:
+    return jnp.full((batch, C.NUM_STATES), 63, dtype=jnp.int32)
+
+
+def _anchored_chainback(decisions, anchor_j, anchor_state, tb_steps: int,
+                        block_steps: int):
+    """Walk ``decisions`` [tb_steps, B, 2] backward, forcing ``state =
+    anchor_state`` when reaching decision index ``anchor_j``; emit data
+    bits for indices [TAIL_BITS, TAIL_BITS + block_steps)."""
+    B = decisions.shape[1]
+    j_seq = jnp.arange(tb_steps - 1, -1, -1, dtype=jnp.int32)
+
+    def step(state, inp):
+        j, dec = inp
+        state = jnp.where(j == anchor_j, anchor_state, state)
+        word = jnp.take_along_axis(dec.astype(jnp.int32),
+                                   (state >> 5)[:, None], axis=1)[:, 0]
+        k = (word >> (state & 31)) & 1
+        return (state >> 1) | (k << 5), k
+
+    # anchor_state * 0 keeps the device-varying type for the scan carry
+    _, ks = jax.lax.scan(step, anchor_state * 0,
+                         (j_seq, jnp.flip(decisions, axis=0)))
+    bits = jnp.flip(ks, axis=0)                    # [tb_steps, B]
+    body = bits[C.TAIL_BITS: C.TAIL_BITS + block_steps].T  # [B, block]
+    return tb.packbits_msb(body)
+
+
+def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP):
+    """Build a jitted sharded decoder for terminated streams of
+    ``stream_bits`` data bits.
+
+    Returns ``decode(symbols, tail_syms)`` where
+      * ``symbols``: int32[B, 4*stream_bits] — the data-bit symbols,
+      * ``tail_syms``: int32[B, 4*TAIL_BITS] — the flush-bit symbols,
+    yielding uint8[B, stream_bits // 8] packed data bits.
+    """
+    n_seq = mesh.shape[mesh_mod.SEQ_AXIS]
+    assert stream_bits % n_seq == 0
+    tb_block = stream_bits // n_seq
+    assert tb_block % 8 == 0 and tb_block % 2 == 0
+    assert overlap % 2 == 0 and overlap >= C.TAIL_BITS
+    assert overlap <= tb_block, "overlap must fit in the neighbor block"
+    warm = min(WARMUP_STEPS, tb_block)
+
+    right = [(d, d + 1) for d in range(n_seq - 1)]
+    left = [(d, d - 1) for d in range(1, n_seq)]
+
+    def _shard_body(syms, tail_syms):
+        # syms: [B, 1, 4*tb_block] local block; tail_syms: [B, 4*6]
+        syms = syms[:, 0, :]
+        B = syms.shape[0]
+        d = jax.lax.axis_index(mesh_mod.SEQ_AXIS)
+        is_first = d == 0
+        is_last = d == n_seq - 1
+
+        def _vary(x):
+            # scan carries inside shard_map must be device-varying on
+            # every mesh axis; cast only the axes still invarying
+            vma = getattr(jax.typeof(x), "vma", frozenset())
+            missing = tuple(ax for ax in (mesh_mod.DATA_AXIS,
+                                          mesh_mod.SEQ_AXIS)
+                            if ax not in vma)
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        # (1) warm-up ACS over the block tail -> boundary metrics
+        warm_syms = syms[:, -C.RATE * warm:]
+        init1 = _vary(jnp.where(is_first,
+                                acs.init_metrics(B), _uniform_metrics(B)))
+        if warm < tb_block:
+            _, bmetrics = acs.forward(warm_syms, warm, initial_metrics=init1)
+        else:
+            _, bmetrics = acs.forward(syms, tb_block, initial_metrics=init1)
+
+        # (2) boundary metrics ride the ICI ring to the right neighbor
+        recv_metrics = jax.lax.ppermute(bmetrics, mesh_mod.SEQ_AXIS, right)
+        entry = jnp.where(is_first, acs.init_metrics(B), recv_metrics)
+
+        # (3) overlap symbols from the right neighbor's prefix
+        prefix = syms[:, : C.RATE * overlap]
+        recv_prefix = jax.lax.ppermute(prefix, mesh_mod.SEQ_AXIS, left)
+        tail_ext = jnp.concatenate(
+            [tail_syms,
+             jnp.zeros((B, C.RATE * (overlap - C.TAIL_BITS)), syms.dtype)],
+            axis=1)
+        ext = jnp.where(is_last, tail_ext, recv_prefix)
+        full = jnp.concatenate([syms, ext], axis=1)
+
+        decisions, fmetrics = acs.forward(full, tb_block + overlap,
+                                          initial_metrics=entry)
+
+        # (4) anchored traceback; final block anchors the terminated end
+        best = jnp.argmin(fmetrics, axis=1).astype(jnp.int32)
+        anchor_state = jnp.where(is_last, jnp.zeros_like(best), best)
+        anchor_j = jnp.where(is_last,
+                             tb_block + C.TAIL_BITS - 1,
+                             tb_block + overlap - 1)
+        out = _anchored_chainback(decisions, anchor_j, anchor_state,
+                                  tb_block + overlap, tb_block)
+        return out[:, None, :]   # [B, 1, tb_block // 8]
+
+    sharded = jax.shard_map(
+        _shard_body, mesh=mesh,
+        in_specs=(P(mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS, None),
+                  P(mesh_mod.DATA_AXIS, None)),
+        out_specs=P(mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS, None))
+
+    @jax.jit
+    def decode(symbols, tail_syms):
+        B = symbols.shape[0]
+        blocks = symbols.astype(jnp.int32).reshape(
+            B, n_seq, C.RATE * tb_block)
+        out = sharded(blocks, tail_syms.astype(jnp.int32))
+        return out.reshape(B, stream_bits // 8)
+
+    return decode
+
+
+def decode_stream(symbols, framebits: int, mesh=None,
+                  overlap: int = DEFAULT_OVERLAP):
+    """Convenience wrapper: ``symbols`` int[B, 4*(framebits+6)] for a
+    terminated stream; splits data/tail symbols and decodes sharded."""
+    if mesh is None:
+        mesh = mesh_mod.make_mesh(n_data=1, n_seq=len(jax.devices()))
+    symbols = jnp.asarray(symbols, dtype=jnp.int32)
+    data_syms = symbols[:, : C.RATE * framebits]
+    tail_syms = symbols[:, C.RATE * framebits: C.RATE * (framebits
+                                                         + C.TAIL_BITS)]
+    return make_stream_decoder(mesh, framebits, overlap)(data_syms,
+                                                         tail_syms)
