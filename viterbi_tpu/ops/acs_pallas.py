@@ -1,0 +1,178 @@
+"""Pallas TPU kernel for the Viterbi forward pass (ACS).
+
+The hot layer (SURVEY.md §3.2): the reference's AVX2 32-way butterfly
+loop (decon_avx2.asm:43-118) becomes a VPU kernel with
+
+  * the 64 trellis states on the **sublane** axis (rows of a [64, B]
+    int32 tile — butterfly halves are tile-aligned row slices),
+  * batched frames on the **lane** axis (B padded to 128),
+  * a fori_loop over trellis time inside each grid step, symbols
+    streamed HBM->VMEM in time chunks by the Pallas pipeline,
+  * path metrics resident in a VMEM scratch that persists across the
+    sequential grid (the register-resident metrics of the SIMD kernels),
+  * decisions packed in-kernel to the reference's 2x-uint32 word layout
+    (viterbi.h:89-92) and streamed back to HBM per chunk.
+
+Numerics are bit-identical to ops.acs.forward (and therefore to the
+reference's SIMD semantics): rounding-average branch metrics, saturating
+adds capped at 255, ties-to-high-predecessor decisions, renormalization
+by 63 after every second step when state 0's metric exceeds 150.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    pl = pltpu = None
+    _HAVE_PALLAS = False
+
+from .. import constants as C
+
+# Default trellis-time chunk per grid step (must be even).
+TIME_CHUNK = 126  # divides 4608+6? no — grid handles remainder by masking
+
+_POL = C.branch_polarity_table()  # [4, 32] uint8
+
+
+def available() -> bool:
+    return _HAVE_PALLAS
+
+
+def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
+            met_ref, metrics):
+    """Grid step: ``time_chunk`` trellis steps over [64, B] metrics.
+
+    sym_ref:  [time_chunk, 4, B] int32 soft symbols (this chunk)
+    init_ref: [64, B] int32 initial metrics
+    dec_ref:  [time_chunk, 2, B] uint32 packed decisions (out)
+    met_ref:  [64, B] int32 final metrics (out)
+    metrics:  [64, B] int32 VMEM scratch, persistent across the grid
+    """
+    B = metrics.shape[1]
+    step0 = pl.program_id(0) * time_chunk
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        metrics[:] = init_ref[:]
+
+    # Constant tables, hoisted out of the time loop by the compiler.
+    # polarity masks computed in-kernel from iota + popcount (Pallas
+    # kernels cannot capture host constants): pol[j][b] =
+    # parity((b << 1) & POLYS[j]) — same table as constants.py.
+    brow = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)     # butterfly b
+    pol = [jax.lax.population_count((brow << 1) & int(C.POLYS[j])) & 1
+           for j in range(4)]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)     # state s
+    # int32 weights (1<<31 wraps to INT_MIN; bit pattern is what matters —
+    # Mosaic lacks unsigned reductions, so pack in int32 and bitcast)
+    weights = jnp.left_shift(jnp.int32(1), srow % 32)          # [64, B]
+
+    def one_step(t, metrics_val):
+        s4 = sym_ref[pl.ds(t, 1)][0]                           # [4, B]
+        # branch metric avg-tree with polarity selects
+        a = []
+        for j in range(4):
+            sj = (s4[j][None, :] & 0xFF)                       # [1, B]
+            sj = jnp.broadcast_to(sj, (32, B))
+            a.append(jnp.where(pol[j] != 0, 255 - sj, sj))
+        avg = lambda x, y: (x + y + 1) >> 1
+        m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & 63  # [32, B]
+        cm = 63 - m
+        lo = metrics_val[:32]
+        hi = metrics_val[32:]
+        sat = lambda x: jnp.minimum(x, C.METRIC_MAX)
+        p0e, p1e = sat(lo + m), sat(hi + cm)
+        p0o, p1o = sat(lo + cm), sat(hi + m)
+        even = jnp.minimum(p0e, p1e)
+        odd = jnp.minimum(p0o, p1o)
+        new = jnp.stack([even, odd], axis=1).reshape(64, B)
+        # cast decisions to i32 *before* stacking: Mosaic cannot reshape
+        # packed-bool (i1) vectors ("Invalid vector register cast")
+        dec = jnp.stack([(p1e <= p0e).astype(jnp.int32),
+                         (p1o <= p0o).astype(jnp.int32)],
+                        axis=1).reshape(64, B)
+        packed = jnp.sum((dec * weights)
+                         .reshape(2, 32, B), axis=1, dtype=jnp.int32)
+        return new, jax.lax.bitcast_convert_type(packed, jnp.uint32)
+
+    def pair(i, _):
+        t0 = 2 * i
+        mcur = metrics[:]
+        for sub in range(2):
+            t = t0 + sub
+            live = step0 + t < nsteps
+            new, packed = one_step(t, mcur)
+            mcur = jnp.where(live, new, mcur)
+            dec_ref[pl.ds(t, 1)] = packed[None]
+        renorm = mcur[0:1, :] > C.RENORMALIZE_THRESHOLD
+        mcur = jnp.where(renorm, jnp.maximum(mcur - C.RENORM_SUB, 0), mcur)
+        metrics[:] = mcur
+        return 0
+
+    jax.lax.fori_loop(0, time_chunk // 2, pair, 0)
+    met_ref[:] = metrics[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nsteps", "time_chunk", "interpret"))
+def forward(symbols: jax.Array, nsteps: int,
+            initial_metrics: jax.Array | None = None,
+            time_chunk: int = TIME_CHUNK, interpret: bool = False):
+    """Pallas twin of ops.acs.forward.
+
+    ``symbols``: [B, >=4*nsteps] int32. Returns (decisions
+    uint32[nsteps, B, 2], final_metrics int32[B, 64]).
+    """
+    assert nsteps % 2 == 0
+    B = symbols.shape[0]
+    Bp = max(128, ((B + 127) // 128) * 128)
+    nchunks = (nsteps + time_chunk - 1) // time_chunk
+    Tp = nchunks * time_chunk
+
+    syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
+    # [B, 4*nsteps] -> [Tp, 4, Bp]
+    syms = syms.T.reshape(nsteps, 4, B)
+    syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+
+    if initial_metrics is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, Bp), 0)
+        init = jnp.where(row == 0, 0, 63)
+    else:
+        init = jnp.pad(initial_metrics.astype(jnp.int32).T,
+                       ((0, 0), (0, Bp - B)), constant_values=63)
+
+    kernel = functools.partial(_kernel, nsteps, time_chunk)
+    decisions, fmetrics = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((time_chunk, 4, Bp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, Bp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((time_chunk, 2, Bp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, Bp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, 2, Bp), jnp.uint32),
+            jax.ShapeDtypeStruct((64, Bp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((64, Bp), jnp.int32)],
+        interpret=interpret,
+    )(syms, init)
+
+    decisions = decisions[:nsteps, :, :B].transpose(0, 2, 1)
+    return decisions, fmetrics[:, :B].T
