@@ -113,7 +113,10 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
             new, packed = one_step(t, mcur)
             mcur = jnp.where(live, new, mcur)
             dec_ref[pl.ds(t, 1)] = packed[None]
-        renorm = mcur[0:1, :] > C.RENORMALIZE_THRESHOLD
+        # renormalize only for live pairs, else frozen metrics would keep
+        # draining by 63 on every padded step
+        pair_live = step0 + t0 < nsteps
+        renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
         mcur = jnp.where(renorm, jnp.maximum(mcur - C.RENORM_SUB, 0), mcur)
         metrics[:] = mcur
         return 0
@@ -176,3 +179,162 @@ def forward(symbols: jax.Array, nsteps: int,
 
     decisions = decisions[:nsteps, :, :B].transpose(0, 2, 1)
     return decisions, fmetrics[:, :B].T
+
+
+# ---------------------------------------------------------------------------
+# Fused register-exchange kernel (no decisions array, no serial traceback)
+# ---------------------------------------------------------------------------
+
+CKPT = 24  # trellis steps between path-register checkpoints (<= 26)
+
+
+def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
+                 reg_ref, met_ref, metrics, regs):
+    """Register-exchange ACS: each state carries a 32-bit register of the
+    last input bits on its survivor path; every CKPT steps the registers
+    are checkpointed to HBM. Replaces the decision history + serial
+    chainback (chainback.inc:18-41) entirely: the decoded bits are read
+    straight out of checkpointed registers along the survivor chain
+    (see ops.traceback.chainback_regs), turning the traceback into a
+    ~T/CKPT-step walk instead of T.
+
+    Grid is (batch_tiles, time_chunks), time minor: each batch tile runs
+    the whole trellis before the next tile starts, keeping the working
+    set small enough to stay in vector registers (large single-tile
+    batches spill and drop VPU issue rate ~3x).
+
+    reg_ref: [time_chunk//CKPT, 64, Bt] int32 checkpoints (out)
+    metrics/regs: [64, Bt] VMEM scratch, persistent across the time grid
+    """
+    B = metrics.shape[1]
+    step0 = pl.program_id(1) * time_chunk
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        metrics[:] = init_ref[:]
+        regs[:] = jnp.zeros_like(regs)
+
+    brow = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    pol = [(jax.lax.population_count((brow << 1) & int(C.POLYS[j])) & 1)
+           .astype(mdt) for j in range(4)]
+    c255 = jnp.asarray(255, mdt)
+    c63 = jnp.asarray(63, mdt)
+
+    def one_step(t, mv, rv):
+        s4 = sym_ref[pl.ds(t, 1)][0]
+        a = []
+        for j in range(4):
+            sj = jnp.broadcast_to((s4[j][None, :] & 0xFF).astype(mdt),
+                                  (32, B))
+            a.append(jnp.where(pol[j] != 0, c255 - sj, sj))
+        avg = lambda x, y: (x + y + 1) >> 1
+        m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & c63
+        cm = c63 - m
+        lo, hi = mv[:32], mv[32:]
+        sat = lambda x: jnp.minimum(x, c255)
+        p0e, p1e = sat(lo + m), sat(hi + cm)
+        p0o, p1o = sat(lo + cm), sat(hi + m)
+        dec_e = p1e <= p0e
+        dec_o = p1o <= p0o
+        new = jnp.stack([jnp.minimum(p0e, p1e), jnp.minimum(p0o, p1o)],
+                        axis=1).reshape(64, B)
+        rlo, rhi = rv[:32], rv[32:]
+        reg_e = jnp.where(dec_e, rhi, rlo) << 1          # shift in bit 0
+        reg_o = (jnp.where(dec_o, rhi, rlo) << 1) | 1    # shift in bit 1
+        new_regs = jnp.stack([reg_e, reg_o], axis=1).reshape(64, B)
+        return new, new_regs
+
+    def pair(i, _):
+        t0 = 2 * i
+        mcur = metrics[:]
+        rcur = regs[:]
+        for sub in range(2):
+            t = t0 + sub
+            live = step0 + t < nsteps
+            new, nregs = one_step(t, mcur, rcur)
+            mcur = jnp.where(live, new, mcur)
+            rcur = jnp.where(live, nregs, rcur)
+        pair_live = step0 + t0 < nsteps
+        renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
+        mcur = jnp.where(renorm,
+                         jnp.maximum(mcur - jnp.asarray(C.RENORM_SUB, mdt),
+                                     jnp.asarray(0, mdt)), mcur)
+        metrics[:] = mcur
+        regs[:] = rcur
+
+        @pl.when((t0 + 2) % CKPT == 0)
+        def _():
+            reg_ref[pl.ds((t0 + 2) // CKPT - 1, 1)] = rcur[None]
+        return 0
+
+    jax.lax.fori_loop(0, time_chunk // 2, pair, 0)
+    met_ref[:] = metrics[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nsteps", "time_chunk", "interpret",
+                                    "b_tile", "metric_dtype"))
+def forward_regs(symbols: jax.Array, nsteps: int,
+                 initial_metrics: jax.Array | None = None,
+                 time_chunk: int = 120, interpret: bool = False,
+                 b_tile: int = 128, metric_dtype=jnp.int32):
+    """Fused forward pass with path-register checkpoints.
+
+    ``symbols``: [B, >=4*nsteps] int32. Returns (ckpt_regs
+    int32[ceil(nsteps/CKPT), 64, B], final_metrics int32[B, 64]).
+    Checkpoint k holds, per state, the last 32 survivor-path input bits
+    as of trellis time min((k+1)*CKPT, nsteps) (frozen past nsteps).
+
+    ``metric_dtype`` may be jnp.int16: all metric values fit comfortably
+    (<= 318 before saturation) and the numerics are unchanged.
+    """
+    assert nsteps % 2 == 0
+    assert time_chunk % CKPT == 0 and time_chunk % 2 == 0
+    B = symbols.shape[0]
+    Bp = max(b_tile, ((B + b_tile - 1) // b_tile) * b_tile)
+    nbt = Bp // b_tile
+    nchunks = (nsteps + time_chunk - 1) // time_chunk
+    Tp = nchunks * time_chunk
+    ncheck = Tp // CKPT
+
+    syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
+    syms = syms.T.reshape(nsteps, 4, B)
+    syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+
+    if initial_metrics is None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, Bp), 0)
+        init = jnp.where(row == 0, 0, 63)
+    else:
+        init = jnp.pad(initial_metrics.astype(jnp.int32).T,
+                       ((0, 0), (0, Bp - B)), constant_values=63)
+    init = init.astype(metric_dtype)
+
+    kernel = functools.partial(_kernel_regs, nsteps, time_chunk,
+                               metric_dtype)
+    cpb = time_chunk // CKPT
+    regs, fmetrics = pl.pallas_call(
+        kernel,
+        grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
+        in_specs=[
+            pl.BlockSpec((time_chunk, 4, b_tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cpb, 64, b_tile), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, b_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ncheck, 64, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((64, Bp), metric_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((64, b_tile), metric_dtype),
+                        pltpu.VMEM((64, b_tile), jnp.int32)],
+        interpret=interpret,
+    )(syms, init)
+
+    k_used = (nsteps + CKPT - 1) // CKPT
+    return regs[:k_used, :, :B], fmetrics[:, :B].astype(jnp.int32).T

@@ -72,6 +72,48 @@ def chainback_scan(decisions: jax.Array, framebits: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("framebits", "ckpt"))
+def chainback_regs(regs: jax.Array, framebits: int,
+                   ckpt: int = 24) -> jax.Array:
+    """Traceback over register-exchange checkpoints
+    (ops.acs_pallas.forward_regs).
+
+    ``regs``: int32[K, 64, B] path-register checkpoints, K =
+    ceil((framebits+6)/ckpt); checkpoint k holds, per state, the last 32
+    survivor input bits as of time min((k+1)*ckpt, framebits+6). The
+    walk visits one checkpoint per step (K sequential steps vs. the
+    reference chainback's framebits), reading 24 decoded bits at a time
+    from the survivor chain; bit-exact vs. decision-word traceback.
+    """
+    nsteps = framebits + C.TAIL_BITS
+    K = regs.shape[0]
+    assert K == -(-nsteps // ckpt)
+    B = regs.shape[2]
+    gap = nsteps - (K - 1) * ckpt          # steps covered by checkpoint K-1
+
+    def gather_state(reg_k, state):
+        return jnp.take_along_axis(reg_k, state[None, :], axis=0)[0]
+
+    # final (possibly partial) checkpoint: state at nsteps is 0
+    r_final = gather_state(regs[K - 1], jnp.zeros(B, jnp.int32))
+    state = (r_final >> gap) & 63
+
+    def step(state, reg_k):
+        r = gather_state(reg_k, state)
+        return (r >> ckpt) & 63, r
+
+    _, rs = jax.lax.scan(step, state, regs[: K - 1], reverse=True)
+
+    # assemble bits: checkpoint k emits u_{k*ckpt + i} = (r >> (ckpt-1-i))&1
+    shifts = jnp.arange(ckpt - 1, -1, -1, dtype=jnp.int32)
+    bits = (rs[:, None, :] >> shifts[None, :, None]) & 1   # [K-1, ckpt, B]
+    bits = bits.reshape((K - 1) * ckpt, B)
+    fshifts = jnp.arange(gap - 1, -1, -1, dtype=jnp.int32)
+    fbits = (r_final[None, :] >> fshifts[:, None]) & 1     # [gap, B]
+    allbits = jnp.concatenate([bits, fbits], axis=0)       # [nsteps, B]
+    return packbits_msb(allbits[:framebits].T)
+
+
 def _pred_maps(decisions: jax.Array) -> jax.Array:
     """Expand decision words into predecessor maps.
 
