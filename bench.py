@@ -29,6 +29,9 @@ BASELINE_SYMBOLS_PER_S = 2.0e9
 
 def main():
     import jax
+
+    os.makedirs("/root/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from viterbi_tpu import constants as C
@@ -57,9 +60,8 @@ def main():
         from viterbi_tpu.ops import acs_pallas
 
         def decode(symbols):
-            decisions, _ = acs_pallas.forward(symbols, nsteps)
-            return traceback.chainback_blocked(decisions, framebits,
-                                               block=64)
+            regs, _ = acs_pallas.forward_regs(symbols, nsteps)
+            return traceback.chainback_regs(regs, framebits)
     elif variant == "jax_scan":
         def decode(symbols):
             decisions, _ = acs.forward(symbols, nsteps)
@@ -71,16 +73,17 @@ def main():
                                                block=64)
 
     fn = jax.jit(decode)
-    out = fn(syms)
-    out.block_until_ready()  # compile + warm up
-
+    # warm up / compile; np.asarray forces completion (block_until_ready
+    # does not reliably block on tunneled platforms)
+    np.asarray(fn(syms))
     for _ in range(3):
-        fn(syms).block_until_ready()
+        out = fn(syms)
+    np.asarray(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(syms)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     symbols_per_call = batch * C.RATE * nsteps

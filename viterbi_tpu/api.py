@@ -61,9 +61,13 @@ def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
 
     st = dispatch.state()
     syms = jnp.asarray(symbols, dtype=jnp.int32)
-    decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
     variant = dispatch.VARIANTS[st.variant]
-    if variant in ("pallas", "pallas_fused", "jax_blocked"):
+    if variant in ("pallas", "pallas_fused"):
+        from .ops import acs_pallas
+        regs, _ = acs_pallas.forward_regs(syms, framebits + C.TAIL_BITS)
+        return np.asarray(traceback.chainback_regs(regs, framebits))
+    decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
+    if variant == "jax_blocked":
         block = st.config.traceback_block
         if framebits % block != 0:
             block = next(b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1)
