@@ -1,0 +1,180 @@
+"""Test & benchmark program — the twin of viterbi-benchmark.exe
+(viterbi-benchmark/viterbi-benchmark.cpp): checks every decoder variant
+on this backend, measures BER/FER at the reference operating point and
+decode speed per DAB bitrate, auto-tunes the config file to the fastest
+variant, and fault-injects the recovery subsystem.
+
+CLI (flags mirror the reference, dashes also accepted):
+    python -m viterbi_tpu.harness.benchmark [/f frames] [/t loops] [/not]
+      /f    warm-up+BER frames, 100..25000 (default 500 here; the
+            reference default of 5000 is overkill for a smoke run)
+      /t    timed decode loops (default 100)
+      /not  skip the fault-injection ("exception") tests
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .. import api
+from .. import constants as C
+from ..runtime import config as config_mod
+from ..runtime import dispatch
+from . import channel
+
+
+def _supported_variants():
+    caps = dispatch.get_caps()
+    out = []
+    for i in range(4):
+        if dispatch._variant_supported(i, caps):
+            out.append(i)
+    return out
+
+
+def ber_fer_test(variant: int, nframes: int, framebits: int = 3072,
+                 batch: int = 64, seed: int = 0):
+    """BER/FER at Eb/N0 = 3 dB with identical noise for every variant
+    (the reference reseeds srandom(0) per ISA, :302,374)."""
+    config_mod.write_variant(variant)
+    api.initialize()
+    tot_errs = 0
+    badframes = 0
+    done = 0
+    while done < nframes:
+        n = min(batch, nframes - done)
+        bits, syms = channel.make_frames(n, framebits, seed=seed + done)
+        ret, out = api.deconvolve_batch(framebits, syms)
+        assert ret == 0
+        _, _, errs = channel.ber_fer(out, bits)
+        per_frame = np.unpackbits(out ^ np.packbits(bits, axis=1),
+                                  axis=1).sum(axis=1)
+        tot_errs += errs
+        badframes += int(np.count_nonzero(per_frame))
+        done += n
+    ber = tot_errs / (nframes * framebits)
+    fer = badframes / nframes
+    return ber, fer, tot_errs, badframes
+
+
+def speed_test(variant: int, loops: int, batch: int = 256,
+               bitrates=(32, 64, 96, 128)):
+    """Timed batched decode per DAB bitrate (framebits = bitrate*24).
+    Returns {bitrate: seconds_per_loop}. Completion is forced by a host
+    fetch (async dispatch otherwise hides device time)."""
+    config_mod.write_variant(variant)
+    api.initialize()
+    results = {}
+    rng = np.random.default_rng(0)
+    for bitrate in bitrates:
+        framebits = bitrate * 24
+        syms = rng.integers(
+            0, 256, (batch, C.RATE * (framebits + C.TAIL_BITS)),
+            dtype=np.int64).astype(np.int32)
+        ret, out = api.deconvolve_batch(framebits, syms)  # compile
+        assert ret == 0
+        for _ in range(max(1, loops // 10)):              # warm up
+            api.deconvolve_batch(framebits, syms)
+        t0 = time.perf_counter()
+        for _ in range(loops):
+            ret, out = api.deconvolve_batch(framebits, syms)
+        np.asarray(out)
+        results[bitrate] = (time.perf_counter() - t0) / loops
+    return results
+
+
+def fault_injection_test() -> bool:
+    """The reference's three deliberate crashes + latch + re-arm checks
+    (viterbi-benchmark.cpp:444-481)."""
+    ok = True
+    # (a)+(b): bad deconvolve input -> returns 1, latches
+    ok &= api.deconvolve(0, None, 0, None) == 1
+    ok &= dispatch.state().safe_mode
+    good_bits = np.zeros(48, dtype=np.uint8)
+    from .. import golden
+    syms = golden.hard_to_soft(golden.encode(good_bits))
+    ok &= api.deconvolve(48, syms) == 1          # still latched
+    api.initialize()                              # re-arm
+    ok &= api.deconvolve(48, syms) == 0
+    # (c): RS null pointer
+    ok &= api.rs_check_superframe(None, 0, 10, None) == -1
+    api.initialize()
+    return bool(ok)
+
+
+def environment_report() -> str:
+    import jax
+    caps = dispatch.get_caps()
+    lines = [
+        f"platform: {jax.devices()[0].platform} x{len(jax.devices())}",
+        f"caps: 0x{caps:x}",
+        f"variants supported: "
+        f"{[dispatch.VARIANTS[i] for i in _supported_variants()]}",
+        f"config: {config_mod.default_path()}",
+        f"native host lib: "
+        f"{__import__('viterbi_tpu.utils.native', fromlist=['x']).have_native()}",
+    ]
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    frames, loops, test_exc = 500, 100, True
+    i = 0
+    while i < len(argv):
+        a = argv[i].lstrip("/-")
+        if a == "f":
+            frames = max(100, min(25000, int(argv[i + 1]))); i += 2
+        elif a == "t":
+            loops = max(10, min(500000, int(argv[i + 1]))); i += 2
+        elif a == "not":
+            test_exc = False; i += 1
+        else:
+            i += 1
+
+    print(environment_report())
+    api.initialize()
+    variants = _supported_variants()
+    baseline_times = None
+    best, best_ratio = variants[0], 1.0  # must beat the baseline to win
+    ref_ber = None
+    for v in variants:
+        name = dispatch.VARIANTS[v]
+        print(f"\nTesting variant {v} ({name}) with {frames} frames...")
+        ber, fer, errs, bad = ber_fer_test(v, frames)
+        print(f"BER {errs}/{frames * 3072} ({ber:10.3g}) "
+              f"FER {bad}/{frames} ({fer:10.3g})")
+        if ref_ber is None:
+            ref_ber = (errs, bad)
+        elif (errs, bad) != ref_ber:
+            print("*** PARITY FAILURE: variants disagree on identical "
+                  "noise ***")
+        times = speed_test(v, loops)
+        for bitrate, t in times.items():
+            line = (f"Bitrate: {bitrate:5d}  Framebits: {bitrate * 24:5d}  "
+                    f"Time: {t * loops:8.4f} sec")
+            if baseline_times is not None:
+                ratio = baseline_times[bitrate] / t
+                line += f"  {ratio:6.3f} x vs {dispatch.VARIANTS[variants[0]]}"
+                if ratio > best_ratio:
+                    best_ratio, best = ratio, v
+            print(line)
+        if baseline_times is None:
+            baseline_times = times
+
+    print(f"\nUpdating config to variant {best} "
+          f"({dispatch.VARIANTS[best]}).")
+    config_mod.write_variant(best)
+    api.initialize()
+
+    if test_exc:
+        print("\nChecking the fault-recovery subsystem...")
+        print("fault injection:", "PASS" if fault_injection_test()
+              else "FAIL")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""DAB / DAB+ decode chains — the "model" layer.
+
+The reference exposes two hot primitives (deconvolve +
+RScheckSuperframe) and leaves their composition to QIRX. Here the
+composition is a first-class, jittable pipeline so a whole DAB+ audio
+superframe batch decodes on-device end to end (BASELINE.json config 3):
+
+    subchannel soft symbols (5 logical frames, 24 ms each)
+      -> batched Viterbi deconvolve        (ops.acs / ops.acs_pallas)
+      -> pack to bytes, assemble superframe
+      -> RS(120,110) check/correct         (ops.rs)
+      -> corrected audio superframe bytes + error counts
+
+Shapes follow DAB terminology: a subchannel at ``bitrate`` kbit/s
+yields framebits = 24 * bitrate per 24 ms logical frame
+(viterbi-benchmark.cpp:56); a DAB+ audio superframe spans 5 logical
+frames whose decoded bytes form ``rs_dims = superframe_bytes / 120``
+interleaved RS codewords (rschecksf.cpp:58-62).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ops import acs, rs as rs_ops, traceback
+
+SUPERFRAME_FRAMES = 5  # logical frames per DAB+ audio superframe
+
+
+@dataclasses.dataclass(frozen=True)
+class SubchannelConfig:
+    """A DAB subchannel's decode geometry."""
+    bitrate_kbps: int                      # 8..384 (old DAB max)
+
+    @property
+    def framebits(self) -> int:
+        return 24 * self.bitrate_kbps
+
+    @property
+    def frame_bytes(self) -> int:
+        return self.framebits // 8
+
+    @property
+    def superframe_bytes(self) -> int:
+        return SUPERFRAME_FRAMES * self.frame_bytes
+
+    @property
+    def rs_dims(self) -> int:
+        """Interleaved RS codewords per superframe (120 B each)."""
+        assert self.superframe_bytes % C.RS_N == 0, (
+            "bitrate incompatible with DAB+ superframe RS layout")
+        return self.superframe_bytes // C.RS_N
+
+    @property
+    def symbols_per_frame(self) -> int:
+        return C.RATE * (self.framebits + C.TAIL_BITS)
+
+
+def bytes_to_superframes(frame_bytes: jax.Array, cfg: SubchannelConfig):
+    """[B, 5, frame_bytes] decoded frame bytes -> [B, superframe_bytes]."""
+    B = frame_bytes.shape[0]
+    return frame_bytes.reshape(B, cfg.superframe_bytes)
+
+
+@partial(jax.jit, static_argnames=("bitrate_kbps", "use_pallas"))
+def decode_audio_superframes(symbols: jax.Array, bitrate_kbps: int,
+                             use_pallas: bool = False):
+    """Decode a batch of DAB+ audio superframes end to end on device.
+
+    ``symbols``: int32[B, 5, 4*(framebits+6)] soft symbols for 5
+    consecutive logical frames of one subchannel (already depunctured,
+    as the reference expects — SURVEY.md §2.1).
+
+    Returns (audio uint8[B, rs_dims*110], rs_errors int32[B]):
+    corrected audio superframe bytes and per-superframe corrected-byte
+    counts (-1 = uncorrectable, matching RScheckSuperframe).
+    """
+    cfg = SubchannelConfig(bitrate_kbps)
+    B = symbols.shape[0]
+    flat = symbols.reshape(B * SUPERFRAME_FRAMES, -1).astype(jnp.int32)
+
+    if use_pallas:
+        from ..ops import acs_pallas
+        regs, _ = acs_pallas.forward_regs(flat, cfg.framebits + C.TAIL_BITS)
+        frame_bytes = traceback.chainback_regs(regs, cfg.framebits)
+    else:
+        decisions, _ = acs.forward(flat, cfg.framebits + C.TAIL_BITS)
+        frame_bytes = traceback.chainback_scan(decisions, cfg.framebits)
+
+    sf = bytes_to_superframes(
+        frame_bytes.reshape(B, SUPERFRAME_FRAMES, cfg.frame_bytes), cfg)
+
+    # deinterleave each superframe into its RS codewords and decode the
+    # whole [B * rs_dims, 120] block batch at once
+    blocks = sf.reshape(B, C.RS_N, cfg.rs_dims).transpose(0, 2, 1)
+    count, corrected = rs_ops.rs_decode_blocks(
+        blocks.reshape(B * cfg.rs_dims, C.RS_N).astype(jnp.int32))
+    count = count.reshape(B, cfg.rs_dims)
+    corrected = corrected.reshape(B, cfg.rs_dims, C.RS_N)
+
+    any_fail = jnp.any(count < 0, axis=1)
+    errors = jnp.where(any_fail, -1, count.sum(axis=1)).astype(jnp.int32)
+    audio = corrected[:, :, :C.RS_KK].transpose(0, 2, 1).reshape(
+        B, cfg.rs_dims * C.RS_KK).astype(jnp.uint8)
+    return audio, errors

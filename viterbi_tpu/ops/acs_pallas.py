@@ -244,32 +244,30 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
         new_regs = jnp.stack([reg_e, reg_o], axis=1).reshape(64, B)
         return new, new_regs
 
-    def ck_block(k, _):
-        # one checkpoint period (CKPT steps) fully unrolled: amortizes the
-        # scalar-core loop overhead over 12 straight-line butterfly pairs
-        # and makes the checkpoint store unconditional.
-        t0 = k * CKPT
+    def pair(i, _):
+        t0 = 2 * i
         mcur = metrics[:]
         rcur = regs[:]
-        for p in range(CKPT // 2):
-            for sub in range(2):
-                t = t0 + 2 * p + sub
-                live = step0 + t < nsteps
-                new, nregs = one_step(t, mcur, rcur)
-                mcur = jnp.where(live, new, mcur)
-                rcur = jnp.where(live, nregs, rcur)
-            pair_live = step0 + t0 + 2 * p < nsteps
-            renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
-            mcur = jnp.where(renorm,
-                             jnp.maximum(mcur
-                                         - jnp.asarray(C.RENORM_SUB, mdt),
-                                         jnp.asarray(0, mdt)), mcur)
+        for sub in range(2):
+            t = t0 + sub
+            live = step0 + t < nsteps
+            new, nregs = one_step(t, mcur, rcur)
+            mcur = jnp.where(live, new, mcur)
+            rcur = jnp.where(live, nregs, rcur)
+        pair_live = step0 + t0 < nsteps
+        renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
+        mcur = jnp.where(renorm,
+                         jnp.maximum(mcur - jnp.asarray(C.RENORM_SUB, mdt),
+                                     jnp.asarray(0, mdt)), mcur)
         metrics[:] = mcur
         regs[:] = rcur
-        reg_ref[pl.ds(k, 1)] = rcur[None]
+
+        @pl.when((t0 + 2) % CKPT == 0)
+        def _():
+            reg_ref[pl.ds((t0 + 2) // CKPT - 1, 1)] = rcur[None]
         return 0
 
-    jax.lax.fori_loop(0, time_chunk // CKPT, ck_block, 0)
+    jax.lax.fori_loop(0, time_chunk // 2, pair, 0)
     met_ref[:] = metrics[:]
 
 
