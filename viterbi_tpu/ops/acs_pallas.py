@@ -104,9 +104,10 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
                          .reshape(2, 32, B), axis=1, dtype=jnp.int32)
         return new, jax.lax.bitcast_convert_type(packed, jnp.uint32)
 
-    def pair(i, _):
+    def pair(i, mcur):
+        # metrics ride the loop carry (vector registers) — a scratch
+        # round-trip per step is pure VMEM traffic
         t0 = 2 * i
-        mcur = metrics[:]
         for sub in range(2):
             t = t0 + sub
             live = step0 + t < nsteps
@@ -118,11 +119,11 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
         pair_live = step0 + t0 < nsteps
         renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
         mcur = jnp.where(renorm, jnp.maximum(mcur - C.RENORM_SUB, 0), mcur)
-        metrics[:] = mcur
-        return 0
+        return mcur
 
-    jax.lax.fori_loop(0, time_chunk // 2, pair, 0)
-    met_ref[:] = metrics[:]
+    mfin = jax.lax.fori_loop(0, time_chunk // 2, pair, metrics[:])
+    metrics[:] = mfin
+    met_ref[:] = mfin
 
 
 @functools.partial(jax.jit,
@@ -244,10 +245,12 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
         new_regs = jnp.stack([reg_e, reg_o], axis=1).reshape(64, B)
         return new, new_regs
 
-    def pair(i, _):
+    def pair(i, carry):
+        # metrics/regs ride the loop carry (vector registers), not the
+        # scratch refs: a scratch round-trip per step costs ~1 MB/step of
+        # VMEM traffic and dominates the kernel.
+        mcur, rcur = carry
         t0 = 2 * i
-        mcur = metrics[:]
-        rcur = regs[:]
         for sub in range(2):
             t = t0 + sub
             live = step0 + t < nsteps
@@ -259,16 +262,17 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
         mcur = jnp.where(renorm,
                          jnp.maximum(mcur - jnp.asarray(C.RENORM_SUB, mdt),
                                      jnp.asarray(0, mdt)), mcur)
-        metrics[:] = mcur
-        regs[:] = rcur
 
         @pl.when((t0 + 2) % CKPT == 0)
         def _():
             reg_ref[pl.ds((t0 + 2) // CKPT - 1, 1)] = rcur[None]
-        return 0
+        return mcur, rcur
 
-    jax.lax.fori_loop(0, time_chunk // 2, pair, 0)
-    met_ref[:] = metrics[:]
+    mfin, rfin = jax.lax.fori_loop(0, time_chunk // 2, pair,
+                                   (metrics[:], regs[:]))
+    metrics[:] = mfin
+    regs[:] = rfin
+    met_ref[:] = mfin
 
 
 @functools.partial(jax.jit,
