@@ -60,8 +60,7 @@ def main():
         from viterbi_tpu.ops import acs_pallas
 
         def decode(symbols):
-            regs, _ = acs_pallas.forward_regs(symbols, nsteps)
-            return traceback.chainback_regs(regs, framebits)
+            return acs_pallas.decode(symbols, framebits)
     elif variant == "jax_scan":
         def decode(symbols):
             decisions, _ = acs.forward(symbols, nsteps)

@@ -64,8 +64,7 @@ def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
     variant = dispatch.VARIANTS[st.variant]
     if variant in ("pallas", "pallas_fused"):
         from .ops import acs_pallas
-        regs, _ = acs_pallas.forward_regs(syms, framebits + C.TAIL_BITS)
-        return np.asarray(traceback.chainback_regs(regs, framebits))
+        return np.asarray(acs_pallas.decode(syms, framebits))
     decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
     if variant == "jax_blocked":
         block = st.config.traceback_block

@@ -1,0 +1,66 @@
+"""Multi-device scaling sweep (BASELINE.json config 5).
+
+Measures decoded throughput of the data-parallel sharded decoder at
+1, 2, 4, ... devices and reports scaling efficiency vs the 1-device
+rate. On real pods the "data" axis spans chips/hosts over ICI/DCN; in
+this environment it runs on the virtual CPU mesh (the driver validates
+the same sharding compiles multi-chip via dryrun_multichip).
+
+Usage: python -m viterbi_tpu.harness.scaling [frames_per_device] [framebits]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def sweep(frames_per_device: int = 32, framebits: int = 3072,
+          loops: int = 5):
+    import jax
+
+    from .. import constants as C
+    from ..parallel import batch as batch_mod
+    from ..parallel import mesh as mesh_mod
+
+    ndev = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    rng = np.random.default_rng(0)
+    results = {}
+    base_rate = None
+    for n in sizes:
+        mesh = mesh_mod.make_mesh(n_data=n, n_seq=1,
+                                  devices=jax.devices()[:n])
+        B = frames_per_device * n
+        syms = rng.integers(
+            0, 256, (B, C.RATE * (framebits + C.TAIL_BITS)),
+            dtype=np.int64).astype(np.int32)
+        out = batch_mod.decode_sharded(syms, framebits, mesh)  # compile
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(loops):
+            out = batch_mod.decode_sharded(syms, framebits, mesh)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / loops
+        rate = B * framebits / dt  # decoded bits/s
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n)
+        results[n] = {"mbit_s": rate / 1e6, "efficiency": eff}
+    return results
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    fpd = int(argv[0]) if len(argv) > 0 else 32
+    fb = int(argv[1]) if len(argv) > 1 else 3072
+    results = sweep(fpd, fb)
+    for n, r in results.items():
+        print(f"devices={n:3d}  decoded {r['mbit_s']:10.2f} Mbit/s  "
+              f"efficiency {r['efficiency']:6.1%}")
+
+
+if __name__ == "__main__":
+    main()

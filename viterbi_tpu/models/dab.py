@@ -86,8 +86,7 @@ def decode_audio_superframes(symbols: jax.Array, bitrate_kbps: int,
 
     if use_pallas:
         from ..ops import acs_pallas
-        regs, _ = acs_pallas.forward_regs(flat, cfg.framebits + C.TAIL_BITS)
-        frame_bytes = traceback.chainback_regs(regs, cfg.framebits)
+        frame_bytes = acs_pallas.decode(flat, cfg.framebits)
     else:
         decisions, _ = acs.forward(flat, cfg.framebits + C.TAIL_BITS)
         frame_bytes = traceback.chainback_scan(decisions, cfg.framebits)

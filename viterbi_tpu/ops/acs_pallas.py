@@ -186,29 +186,51 @@ def forward(symbols: jax.Array, nsteps: int,
 # Fused register-exchange kernel (no decisions array, no serial traceback)
 # ---------------------------------------------------------------------------
 
-CKPT = 24  # trellis steps between path-register checkpoints (<= 26)
+CKPT = 24  # default checkpoint period; see choose_ckpt (<= 26)
 
 
-def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
+def choose_ckpt(nsteps: int) -> int:
+    """Largest even checkpoint period <= 26 dividing nsteps.
+
+    nsteps = framebits + 6 with framebits a multiple of 24, so nsteps is
+    always divisible by 6; a larger divisor means a shorter traceback
+    walk. An exact divisor lets the kernel run without per-step liveness
+    masking (two [64, B] selects per step saved).
+    """
+    for d in range(26, 5, -2):
+        if nsteps % d == 0:
+            return d
+    return 6
+
+
+def _choose_time_chunk(nsteps: int, ckpt: int, target: int = 200) -> int:
+    """Largest multiple of ckpt dividing nsteps, at most ~target steps."""
+    blocks = nsteps // ckpt
+    best = 1
+    for k in range(1, blocks + 1):
+        if blocks % k == 0 and k * ckpt <= target:
+            best = k
+    return best * ckpt
+
+
+def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
                  reg_ref, met_ref, metrics, regs):
     """Register-exchange ACS: each state carries a 32-bit register of the
-    last input bits on its survivor path; every CKPT steps the registers
-    are checkpointed to HBM. Replaces the decision history + serial
-    chainback (chainback.inc:18-41) entirely: the decoded bits are read
-    straight out of checkpointed registers along the survivor chain
-    (see ops.traceback.chainback_regs), turning the traceback into a
-    ~T/CKPT-step walk instead of T.
+    last input bits on its survivor path; every ``ckpt`` steps the
+    registers are checkpointed to HBM. Replaces the decision history +
+    serial chainback (chainback.inc:18-41) entirely: decoded bits are
+    read straight out of checkpointed registers along the survivor chain
+    (ops.traceback.chainback_regs), turning the traceback into a
+    ~T/ckpt-step walk instead of T.
 
-    Grid is (batch_tiles, time_chunks), time minor: each batch tile runs
-    the whole trellis before the next tile starts, keeping the working
-    set small enough to stay in vector registers (large single-tile
-    batches spill and drop VPU issue rate ~3x).
+    ckpt and time_chunk divide nsteps exactly (choose_ckpt), so there is
+    no padding and no per-step liveness masking.
 
-    reg_ref: [time_chunk//CKPT, 64, Bt] int32 checkpoints (out)
-    metrics/regs: [64, Bt] VMEM scratch, persistent across the time grid
+    reg_ref: [time_chunk//ckpt, 64, Bt] int32 checkpoints (out)
+    metrics/regs: [64, Bt] VMEM scratch, persistent across the time grid;
+    the hot loop carries them in vector registers.
     """
     B = metrics.shape[1]
-    step0 = pl.program_id(1) * time_chunk
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -216,18 +238,17 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
         regs[:] = jnp.zeros_like(regs)
 
     brow = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    pol = [(jax.lax.population_count((brow << 1) & int(C.POLYS[j])) & 1)
-           .astype(mdt) for j in range(4)]
+    # branch polarity as XOR masks (0 or 255): 255 - s == s ^ 255 for u8
+    xmask = [((jax.lax.population_count((brow << 1) & int(C.POLYS[j])) & 1)
+              * 255).astype(mdt) for j in range(4)]
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
+    zero = jnp.asarray(0, mdt)
 
     def one_step(t, mv, rv):
         s4 = sym_ref[pl.ds(t, 1)][0]
-        a = []
-        for j in range(4):
-            sj = jnp.broadcast_to((s4[j][None, :] & 0xFF).astype(mdt),
-                                  (32, B))
-            a.append(jnp.where(pol[j] != 0, c255 - sj, sj))
+        a = [jnp.broadcast_to((s4[j][None, :] & 0xFF).astype(mdt),
+                              (32, B)) ^ xmask[j] for j in range(4)]
         avg = lambda x, y: (x + y + 1) >> 1
         m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & c63
         cm = c63 - m
@@ -246,26 +267,19 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
         return new, new_regs
 
     def pair(i, carry):
-        # metrics/regs ride the loop carry (vector registers), not the
-        # scratch refs: a scratch round-trip per step costs ~1 MB/step of
-        # VMEM traffic and dominates the kernel.
         mcur, rcur = carry
         t0 = 2 * i
-        for sub in range(2):
-            t = t0 + sub
-            live = step0 + t < nsteps
-            new, nregs = one_step(t, mcur, rcur)
-            mcur = jnp.where(live, new, mcur)
-            rcur = jnp.where(live, nregs, rcur)
-        pair_live = step0 + t0 < nsteps
-        renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
-        mcur = jnp.where(renorm,
-                         jnp.maximum(mcur - jnp.asarray(C.RENORM_SUB, mdt),
-                                     jnp.asarray(0, mdt)), mcur)
+        mcur, rcur = one_step(t0, mcur, rcur)
+        mcur, rcur = one_step(t0 + 1, mcur, rcur)
+        # renormalize: subtract 63 (saturating at 0) from every state of
+        # frames whose state-0 metric exceeds the threshold
+        sub = jnp.where(mcur[0:1, :] > C.RENORMALIZE_THRESHOLD,
+                        c63, zero)
+        mcur = jnp.maximum(mcur - sub, zero)
 
-        @pl.when((t0 + 2) % CKPT == 0)
+        @pl.when((t0 + 2) % ckpt == 0)
         def _():
-            reg_ref[pl.ds((t0 + 2) // CKPT - 1, 1)] = rcur[None]
+            reg_ref[pl.ds((t0 + 2) // ckpt - 1, 1)] = rcur[None]
         return mcur, rcur
 
     mfin, rfin = jax.lax.fori_loop(0, time_chunk // 2, pair,
@@ -280,30 +294,31 @@ def _kernel_regs(nsteps: int, time_chunk: int, mdt, sym_ref, init_ref,
                                     "b_tile", "metric_dtype"))
 def forward_regs(symbols: jax.Array, nsteps: int,
                  initial_metrics: jax.Array | None = None,
-                 time_chunk: int = 120, interpret: bool = False,
-                 b_tile: int = 128, metric_dtype=jnp.int32):
+                 time_chunk: int | None = None, interpret: bool = False,
+                 b_tile: int = 1024, metric_dtype=jnp.int32):
     """Fused forward pass with path-register checkpoints.
 
     ``symbols``: [B, >=4*nsteps] int32. Returns (ckpt_regs
-    int32[ceil(nsteps/CKPT), 64, B], final_metrics int32[B, 64]).
-    Checkpoint k holds, per state, the last 32 survivor-path input bits
-    as of trellis time min((k+1)*CKPT, nsteps) (frozen past nsteps).
-
-    ``metric_dtype`` may be jnp.int16: all metric values fit comfortably
-    (<= 318 before saturation) and the numerics are unchanged.
+    int32[nsteps//choose_ckpt(nsteps), 64, B], final_metrics
+    int32[B, 64]). Checkpoint k holds, per state, the last 32
+    survivor-path input bits as of trellis time (k+1)*ckpt.
     """
     assert nsteps % 2 == 0
-    assert time_chunk % CKPT == 0 and time_chunk % 2 == 0
+    ckpt = choose_ckpt(nsteps)
+    if time_chunk is None:
+        time_chunk = _choose_time_chunk(nsteps, ckpt)
+    assert time_chunk % ckpt == 0 and nsteps % time_chunk == 0
     B = symbols.shape[0]
-    Bp = max(b_tile, ((B + b_tile - 1) // b_tile) * b_tile)
-    nbt = Bp // b_tile
-    nchunks = (nsteps + time_chunk - 1) // time_chunk
-    Tp = nchunks * time_chunk
-    ncheck = Tp // CKPT
+    bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
+    Bp = ((B + bt - 1) // bt) * bt
+    nbt = Bp // bt
+    nchunks = nsteps // time_chunk
+    ncheck = nsteps // ckpt
 
     syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
     syms = syms.T.reshape(nsteps, 4, B)
-    syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+    if Bp != B:
+        syms = jnp.pad(syms, ((0, 0), (0, 0), (0, Bp - B)))
 
     if initial_metrics is None:
         row = jax.lax.broadcasted_iota(jnp.int32, (64, Bp), 0)
@@ -313,32 +328,41 @@ def forward_regs(symbols: jax.Array, nsteps: int,
                        ((0, 0), (0, Bp - B)), constant_values=63)
     init = init.astype(metric_dtype)
 
-    kernel = functools.partial(_kernel_regs, nsteps, time_chunk,
+    kernel = functools.partial(_kernel_regs, time_chunk, ckpt,
                                metric_dtype)
-    cpb = time_chunk // CKPT
+    cpb = time_chunk // ckpt
     regs, fmetrics = pl.pallas_call(
         kernel,
         grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
         in_specs=[
-            pl.BlockSpec((time_chunk, 4, b_tile), lambda i, j: (j, 0, i),
+            pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, b_tile), lambda i, j: (0, i),
+            pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((cpb, 64, b_tile), lambda i, j: (j, 0, i),
+            pl.BlockSpec((cpb, 64, bt), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, b_tile), lambda i, j: (0, i),
+            pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ncheck, 64, Bp), jnp.int32),
             jax.ShapeDtypeStruct((64, Bp), metric_dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((64, b_tile), metric_dtype),
-                        pltpu.VMEM((64, b_tile), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((64, bt), metric_dtype),
+                        pltpu.VMEM((64, bt), jnp.int32)],
         interpret=interpret,
     )(syms, init)
 
-    k_used = (nsteps + CKPT - 1) // CKPT
-    return regs[:k_used, :, :B], fmetrics[:, :B].astype(jnp.int32).T
+    return regs[:, :, :B], fmetrics[:, :B].astype(jnp.int32).T
+
+
+def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
+    """Fused end-to-end decode: forward_regs + checkpoint-walk traceback
+    with a consistent checkpoint period. [B, 4*(framebits+6)] int32 ->
+    uint8[B, framebits//8]."""
+    from . import traceback as tb
+    nsteps = framebits + C.TAIL_BITS
+    regs, _ = forward_regs(symbols, nsteps, **kw)
+    return tb.chainback_regs(regs, framebits, ckpt=choose_ckpt(nsteps))

@@ -91,8 +91,13 @@ def chainback_regs(regs: jax.Array, framebits: int,
     B = regs.shape[2]
     gap = nsteps - (K - 1) * ckpt          # steps covered by checkpoint K-1
 
+    srow = jax.lax.broadcasted_iota(jnp.int32, (C.NUM_STATES, B), 0)
+
     def gather_state(reg_k, state):
-        return jnp.take_along_axis(reg_k, state[None, :], axis=0)[0]
+        # one-hot multiply + sublane reduce: take_along_axis over the
+        # 64-state axis lowers to pathological code on TPU
+        onehot = (srow == state[None, :]).astype(jnp.int32)
+        return jnp.sum(reg_k * onehot, axis=0)
 
     # final (possibly partial) checkpoint: state at nsteps is 0
     r_final = gather_state(regs[K - 1], jnp.zeros(B, jnp.int32))
