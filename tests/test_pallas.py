@@ -1,0 +1,61 @@
+"""Pallas kernel parity (interpret mode on CPU; the same kernels are
+verified bit-exact on real TPU hardware by the benchmark scripts)."""
+
+import numpy as np
+import pytest
+
+from viterbi_tpu import constants as C
+from viterbi_tpu import golden
+from viterbi_tpu.harness import channel
+
+
+@pytest.mark.parametrize("framebits", [48, 768])
+def test_decisions_kernel_matches_xla(framebits):
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs, acs_pallas
+    bits, syms = channel.make_frames(3, framebits, seed=framebits)
+    nsteps = framebits + C.TAIL_BITS
+    d1, m1 = acs.forward(jnp.asarray(syms.astype(np.int32)), nsteps)
+    d2, m2 = acs_pallas.forward(jnp.asarray(syms.astype(np.int32)), nsteps,
+                                time_chunk=32, interpret=True)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.parametrize("framebits", [48, 768, 3072])
+def test_fused_regs_decode_matches_golden(framebits):
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    bits, syms = channel.make_frames(2, framebits, seed=framebits + 1)
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    out = acs_pallas.decode(jnp.asarray(syms.astype(np.int32)), framebits,
+                            interpret=True)
+    assert np.array_equal(np.asarray(out), expect)
+
+
+def test_regs_decode_with_entry_metrics():
+    """initial_metrics plumb-through (used by streaming decode)."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs, acs_pallas
+    framebits = 96
+    nsteps = framebits + C.TAIL_BITS
+    bits, syms = channel.make_frames(2, framebits, seed=9)
+    init = jnp.asarray(
+        np.random.default_rng(0).integers(0, 120, (2, 64)).astype(np.int32))
+    _, m1 = acs.forward(jnp.asarray(syms.astype(np.int32)), nsteps,
+                        initial_metrics=init)
+    _, m2 = acs_pallas.forward_regs(jnp.asarray(syms.astype(np.int32)),
+                                    nsteps, initial_metrics=init,
+                                    interpret=True)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_choose_ckpt_properties():
+    from viterbi_tpu.ops import acs_pallas
+    for bitrate in (8, 32, 64, 96, 128, 192, 384):
+        nsteps = 24 * bitrate + 6
+        ck = acs_pallas.choose_ckpt(nsteps)
+        assert nsteps % ck == 0 and ck <= 26 and ck % 2 == 0
+        assert ck % 6 == 0  # CG kernel eligible for all DAB shapes
+        tc = acs_pallas._choose_time_chunk(nsteps, ck)
+        assert nsteps % tc == 0 and tc % ck == 0

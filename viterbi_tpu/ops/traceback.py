@@ -107,7 +107,10 @@ def chainback_regs(regs: jax.Array, framebits: int,
         r = gather_state(reg_k, state)
         return (r >> ckpt) & 63, r
 
-    _, rs = jax.lax.scan(step, state, regs[: K - 1], reverse=True)
+    # unroll: the walk body is ~3 vector ops; XLA while-loop overhead per
+    # iteration would otherwise dominate (measured ~6us/step on TPU)
+    _, rs = jax.lax.scan(step, state, regs[: K - 1], reverse=True,
+                         unroll=16)
 
     # assemble bits: checkpoint k emits u_{k*ckpt + i} = (r >> (ckpt-1-i))&1
     shifts = jnp.arange(ckpt - 1, -1, -1, dtype=jnp.int32)
