@@ -39,7 +39,7 @@ def main():
 
     framebits = int(os.environ.get("BENCH_FRAMEBITS", 3072))
     batch = int(os.environ.get("BENCH_BATCH", 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 100))
     variant = os.environ.get("BENCH_VARIANT", "auto")
 
     platform = jax.devices()[0].platform
