@@ -75,7 +75,7 @@ def main():
     # warm up / compile; np.asarray forces completion (block_until_ready
     # does not reliably block on tunneled platforms)
     np.asarray(fn(syms))
-    for _ in range(3):
+    for _ in range(max(10, iters // 4)):
         out = fn(syms)
     np.asarray(out)
 

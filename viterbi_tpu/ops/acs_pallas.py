@@ -404,11 +404,12 @@ def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
-                                    "b_tile", "metric_dtype"))
+                                    "b_tile", "metric_dtype", "ckpt"))
 def forward_regs(symbols: jax.Array, nsteps: int,
                  initial_metrics: jax.Array | None = None,
                  time_chunk: int | None = None, interpret: bool = False,
-                 b_tile: int = 1024, metric_dtype=jnp.int32):
+                 b_tile: int = 1024, metric_dtype=jnp.int32,
+                 ckpt: int | None = None):
     """Fused forward pass with path-register checkpoints.
 
     ``symbols``: [B, >=4*nsteps] int32. Returns (ckpt_regs
@@ -417,7 +418,9 @@ def forward_regs(symbols: jax.Array, nsteps: int,
     survivor-path input bits as of trellis time (k+1)*ckpt.
     """
     assert nsteps % 2 == 0
-    ckpt = choose_ckpt(nsteps)
+    if ckpt is None:
+        ckpt = choose_ckpt(nsteps)
+    assert nsteps % ckpt == 0 and ckpt % 2 == 0 and ckpt <= 26
     if time_chunk is None:
         time_chunk = _choose_time_chunk(nsteps, ckpt)
     assert time_chunk % ckpt == 0 and nsteps % time_chunk == 0

@@ -26,6 +26,7 @@ mechanism for streams ≫ MAX_FRAMEBITS.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -68,7 +69,37 @@ def _anchored_chainback(decisions, anchor_j, anchor_state, tb_steps: int,
     return tb.packbits_msb(body)
 
 
-def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP):
+def _stream_chainback_regs(regs, anchor_k, anchor_state, ckpt: int,
+                           emit_bits: int):
+    """Anchored checkpoint walk for the Pallas streaming path.
+
+    regs: int32[K, 64, B] register checkpoints of an extended block;
+    the walk injects ``anchor_state`` when it reaches checkpoint index
+    ``anchor_k`` (per-device traced scalar) and emits the first
+    ``emit_bits`` decoded bits. Checkpoints past the anchor produce
+    garbage that the emit window never covers.
+    """
+    K, _, B = regs.shape
+    srow = jax.lax.broadcasted_iota(jnp.int32, (C.NUM_STATES, B), 0)
+
+    def step(state, inp):
+        k, reg_k = inp
+        state = jnp.where(k == anchor_k, anchor_state, state)
+        onehot = (srow == state[None, :]).astype(jnp.int32)
+        r = jnp.sum(reg_k * onehot, axis=0)
+        return (r >> ckpt) & 63, r
+
+    _, rs = jax.lax.scan(step, anchor_state * 0,
+                         (jnp.arange(K, dtype=jnp.int32), regs),
+                         reverse=True, unroll=4)
+    shifts = jnp.arange(ckpt - 1, -1, -1, dtype=jnp.int32)
+    bits = ((rs[:, None, :] >> shifts[None, :, None]) & 1)
+    bits = bits.reshape(K * ckpt, B)[:emit_bits]
+    return tb.packbits_msb(bits.T)
+
+
+def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
+                        use_pallas: bool = False, interpret: bool = False):
     """Build a jitted sharded decoder for terminated streams of
     ``stream_bits`` data bits.
 
@@ -85,6 +116,17 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP):
     assert overlap <= tb_block, "overlap must fit in the neighbor block"
     warm = min(WARMUP_STEPS, tb_block)
 
+    ckpt = None
+    if use_pallas:
+        from ..ops import acs_pallas
+        # anchor times (tb_block + TAIL_BITS for the final block,
+        # tb_block + overlap elsewhere) must land on checkpoints
+        assert tb_block % 6 == 0, "pallas streaming needs 6 | block bits"
+        ckpt = next(d for d in (24, 18, 12, 6)
+                    if (tb_block + C.TAIL_BITS) % d == 0)
+        overlap += (-(overlap - C.TAIL_BITS)) % ckpt  # overlap ≡ 6 (mod ckpt)
+        warm = max(ckpt, warm - warm % ckpt)
+
     right = [(d, d + 1) for d in range(n_seq - 1)]
     left = [(d, d - 1) for d in range(1, n_seq)]
 
@@ -97,22 +139,25 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP):
         is_last = d == n_seq - 1
 
         def _vary(x):
-            # scan carries inside shard_map must be device-varying on
-            # every mesh axis; cast only the axes still invarying
-            vma = getattr(jax.typeof(x), "vma", frozenset())
-            missing = tuple(ax for ax in (mesh_mod.DATA_AXIS,
-                                          mesh_mod.SEQ_AXIS)
-                            if ax not in vma)
-            return jax.lax.pcast(x, missing, to="varying") if missing else x
+            # with check_vma off (needed for pallas_call inside
+            # shard_map) this is a no-op placeholder
+            return x
+
+        if use_pallas:
+            from ..ops import acs_pallas
+            fwd = functools.partial(acs_pallas.forward_regs, ckpt=ckpt,
+                                    interpret=interpret)
+        else:
+            fwd = acs.forward
 
         # (1) warm-up ACS over the block tail -> boundary metrics
         warm_syms = syms[:, -C.RATE * warm:]
         init1 = _vary(jnp.where(is_first,
                                 acs.init_metrics(B), _uniform_metrics(B)))
         if warm < tb_block:
-            _, bmetrics = acs.forward(warm_syms, warm, initial_metrics=init1)
+            _, bmetrics = fwd(warm_syms, warm, initial_metrics=init1)
         else:
-            _, bmetrics = acs.forward(syms, tb_block, initial_metrics=init1)
+            _, bmetrics = fwd(syms, tb_block, initial_metrics=init1)
 
         # (2) boundary metrics ride the ICI ring to the right neighbor
         recv_metrics = jax.lax.ppermute(bmetrics, mesh_mod.SEQ_AXIS, right)
@@ -128,24 +173,34 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP):
         ext = jnp.where(is_last, tail_ext, recv_prefix)
         full = jnp.concatenate([syms, ext], axis=1)
 
-        decisions, fmetrics = acs.forward(full, tb_block + overlap,
-                                          initial_metrics=entry)
+        hist, fmetrics = fwd(full, tb_block + overlap,
+                             initial_metrics=entry)
 
         # (4) anchored traceback; final block anchors the terminated end
         best = jnp.argmin(fmetrics, axis=1).astype(jnp.int32)
         anchor_state = jnp.where(is_last, jnp.zeros_like(best), best)
-        anchor_j = jnp.where(is_last,
-                             tb_block + C.TAIL_BITS - 1,
-                             tb_block + overlap - 1)
-        out = _anchored_chainback(decisions, anchor_j, anchor_state,
-                                  tb_block + overlap, tb_block)
+        if use_pallas:
+            # hist = register checkpoints [K, 64, B]; anchor by index
+            anchor_k = jnp.where(is_last,
+                                 (tb_block + C.TAIL_BITS) // ckpt - 1,
+                                 (tb_block + overlap) // ckpt - 1)
+            out = _stream_chainback_regs(hist, anchor_k, anchor_state,
+                                         ckpt, tb_block)
+        else:
+            # hist = decision words [T, B, 2]; anchor by step index
+            anchor_j = jnp.where(is_last,
+                                 tb_block + C.TAIL_BITS - 1,
+                                 tb_block + overlap - 1)
+            out = _anchored_chainback(hist, anchor_j, anchor_state,
+                                      tb_block + overlap, tb_block)
         return out[:, None, :]   # [B, 1, tb_block // 8]
 
     sharded = jax.shard_map(
         _shard_body, mesh=mesh,
         in_specs=(P(mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS, None),
                   P(mesh_mod.DATA_AXIS, None)),
-        out_specs=P(mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS, None))
+        out_specs=P(mesh_mod.DATA_AXIS, mesh_mod.SEQ_AXIS, None),
+        check_vma=False)  # pallas_call outputs carry no vma info
 
     @jax.jit
     def decode(symbols, tail_syms):
