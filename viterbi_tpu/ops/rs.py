@@ -36,6 +36,59 @@ _SYN_EXP = np.array(
      for j in range(C.RS_N)], dtype=np.int32)
 
 
+def _bit_matrices():
+    """GF(2) bit-sliced evaluation matrices for the MXU.
+
+    Syndrome and Chien evaluations are GF(2)-LINEAR in the input bits:
+    s_i = XOR_j data[j] * alpha^(i*(119-j)) and q(i) = XOR_j
+    lam[j] * alpha^(i*j). Expanding bytes into bits turns each into an
+    exact integer matmul (bit-parity = accumulated count mod 2), which
+    the MXU executes ~3 orders of magnitude faster than the equivalent
+    per-element antilog gathers on TPU.
+
+    Returns (SYND [960, 80], CHIEN [88, 2040]) uint8 0/1 matrices:
+      SYND[(j,a), (i,b)]   = bit b of alpha^((a + i*(119-j)) % 255)
+      CHIEN[(j,a), (i-1,b)] = bit b of alpha^((a + i*j) % 255), i=1..255
+    """
+    a = np.arange(8)
+    # syndromes
+    j_s = np.arange(C.RS_N)
+    e_s = (a[None, :, None] + np.arange(C.RS_NROOTS)[None, None, :]
+           * (C.RS_N - 1 - j_s)[:, None, None]) % 255     # [120, 8, 10]
+    v_s = _ATO_NP[e_s].astype(np.int64)                    # value bytes
+    synd = ((v_s[..., None] >> a) & 1).astype(np.uint8)    # [120,8,10,8]
+    synd = synd.reshape(C.RS_N * 8, C.RS_NROOTS * 8)
+    # chien (evaluation at alpha^i for i = 1..255)
+    j_c = np.arange(C.RS_NROOTS + 1)
+    e_c = (a[None, :, None] + np.arange(1, C.RS_NN + 1)[None, None, :]
+           * j_c[:, None, None]) % 255                     # [11, 8, 255]
+    v_c = _ATO_NP[e_c].astype(np.int64)
+    chien = ((v_c[..., None] >> a) & 1).astype(np.uint8)   # [11,8,255,8]
+    chien = chien.reshape((C.RS_NROOTS + 1) * 8, C.RS_NN * 8)
+    return synd, chien
+
+
+_SYND_M, _CHIEN_M = _bit_matrices()
+
+
+def _byte_bits(x: jax.Array) -> jax.Array:
+    """[..., n] bytes -> [..., n*8] bits (LSB first)."""
+    b = (x[..., None] >> jnp.arange(8, dtype=x.dtype)) & 1
+    return b.reshape(*x.shape[:-1], x.shape[-1] * 8)
+
+
+def _gf2_matmul(bits: jax.Array, m: np.ndarray) -> jax.Array:
+    """Exact parity matmul: [B, K] 0/1 @ [K, N] 0/1 -> [B, N] int32 0/1.
+
+    bf16 inputs represent 0/1 exactly; f32 accumulation is exact for
+    counts <= 2^24, and parity = count & 1.
+    """
+    acc = jnp.dot(bits.astype(jnp.bfloat16),
+                  jnp.asarray(m, dtype=jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return acc.astype(jnp.int32) & 1
+
+
 def _tables():
     return jnp.asarray(_ATO_NP.astype(np.int32)), \
         jnp.asarray(_IOF_NP.astype(np.int32))
@@ -66,11 +119,10 @@ def rs_decode_blocks(blocks: jax.Array):
     B = data.shape[0]
     NR = C.RS_NROOTS
 
-    # ---- Syndromes -------------------------------------------------------
-    log_d = iof[data]                                        # [B, 120]
-    terms = ato[log_d[:, :, None] + jnp.asarray(_SYN_EXP)[None]]
-    terms = jnp.where((data == 0)[:, :, None], 0, terms)     # zero annihilates
-    s = _xor_reduce(terms, axis=1)                           # [B, 10]
+    # ---- Syndromes (MXU bit-matmul) --------------------------------------
+    sbits = _gf2_matmul(_byte_bits(data), _SYND_M)           # [B, 80]
+    s = jnp.sum(sbits.reshape(B, C.RS_NROOTS, 8)
+                << jnp.arange(8, dtype=jnp.int32), axis=-1)  # [B, 10]
     syn_zero = jnp.all(s == 0, axis=1)                       # [B]
     slog = iof[s]                                            # [B, 10] log form
 
@@ -111,15 +163,14 @@ def rs_decode_blocks(blocks: jax.Array):
     lam_log = iof[lam]                                       # [B, 11]
     deg_lambda = jnp.max(jnp.where(lam_log != _A, idx[None, :], 0), axis=1)
 
-    # ---- Chien search (closed form over all 255 field elements) ----------
+    # ---- Chien search (MXU bit-matmul over all 255 field elements) -------
+    # q(i) = XOR_{j=0..10} lam[j] * alpha^(i*j); zero coefficients
+    # contribute nothing, so masking by deg_lambda is unnecessary, and
+    # counting all roots equals the reference's abort-at-deg search (a
+    # degree-d polynomial has at most d roots).
     i_all = jnp.arange(1, C.RS_NN + 1, dtype=jnp.int32)      # [255]
-    j_all = np.arange(1, NR + 1, dtype=np.int32)             # [10]
-    expo = _mod255(lam_log[:, None, 1:] + i_all[None, :, None] * j_all)
-    cterm = ato[expo]                                        # [B, 255, 10]
-    cvalid = (lam_log[:, None, 1:] != _A) & \
-        (j_all[None, None, :] <= deg_lambda[:, None, None])
-    q = 1 ^ _xor_reduce(jnp.where(cvalid, cterm, 0), axis=2)  # [B, 255]
-    is_root = q == 0
+    qbits = _gf2_matmul(_byte_bits(lam), _CHIEN_M)           # [B, 2040]
+    is_root = jnp.sum(qbits.reshape(B, C.RS_NN, 8), axis=-1) == 0
     count = jnp.sum(is_root, axis=1).astype(jnp.int32)
     correctable = count == deg_lambda
 
