@@ -100,6 +100,22 @@ def _mod255(x: jax.Array) -> jax.Array:
     return (prod >> 24).astype(jnp.int32)
 
 
+def gf_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact GF(256) product of int32 arrays (values < 256), gather-free.
+
+    Carryless polynomial multiply (8 conditional-XOR rounds) followed by
+    reduction mod the field polynomial 0x11D. ~45 elementwise VPU ops —
+    far cheaper on TPU than a log/antilog table gather per element.
+    """
+    acc = jnp.zeros_like(a)
+    for k in range(8):
+        acc = acc ^ jnp.where((b >> k) & 1 != 0, a << k, 0)
+    for k in range(14, 7, -1):
+        acc = acc ^ jnp.where((acc >> k) & 1 != 0,
+                              jnp.int32(C.RS_GFPOLY << (k - 8)), 0)
+    return acc
+
+
 def _xor_reduce(x: jax.Array, axis: int) -> jax.Array:
     return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_xor, (axis,))
 
@@ -124,44 +140,41 @@ def rs_decode_blocks(blocks: jax.Array):
     s = jnp.sum(sbits.reshape(B, C.RS_NROOTS, 8)
                 << jnp.arange(8, dtype=jnp.int32), axis=-1)  # [B, 10]
     syn_zero = jnp.all(s == 0, axis=1)                       # [B]
-    slog = iof[s]                                            # [B, 10] log form
 
-    # ---- Berlekamp-Massey (10 masked rounds) -----------------------------
+    # ---- Berlekamp-Massey (10 masked rounds, poly form) ------------------
+    # Both lambda and b kept in polynomial form; GF products via the
+    # gather-free bitwise gf_mul (the reference's log-form bookkeeping is
+    # an x86 LUT optimization, results are identical).
     lam = jnp.zeros((B, NR + 1), jnp.int32).at[:, 0].set(1)  # poly form
-    b = jnp.full((B, NR + 1), _A, jnp.int32).at[:, 0].set(0)  # log form
+    b = jnp.zeros((B, NR + 1), jnp.int32).at[:, 0].set(1)    # poly form
     el = jnp.zeros((B,), jnp.int32)
     idx = jnp.arange(NR + 1, dtype=jnp.int32)
 
     for r in range(1, NR + 1):  # static unroll, masks handle divergence
         # discrepancy: XOR over i < r of lam[i] * s[r-1-i]
-        lam_log = iof[lam]                                   # [B, 11]
-        s_take = slog[:, (r - 1 - np.arange(NR + 1)) % NR]   # [B, 11]
-        dterm = ato[lam_log + s_take]
-        valid = (np.arange(NR + 1) < r)[None, :] & (lam != 0) & \
-            (s_take != _A)
-        discr = _xor_reduce(jnp.where(valid, dterm, 0), axis=1)
-        dlog = iof[discr]                                    # [B]
-        zero_d = dlog == _A
+        s_take = s[:, (r - 1 - np.arange(NR + 1)) % NR]      # [B, 11]
+        valid = (np.arange(NR + 1) < r)[None, :]
+        discr = _xor_reduce(
+            jnp.where(valid, gf_mul(lam, s_take), 0), axis=1)  # [B]
+        zero_d = discr == 0
 
         shift_b = jnp.concatenate(
-            [jnp.full((B, 1), _A, jnp.int32), b[:, :-1]], axis=1)
+            [jnp.zeros((B, 1), jnp.int32), b[:, :-1]], axis=1)
 
         # t(x) = lambda(x) - discr * x * b(x)
-        tb = jnp.where(b != _A, ato[dlog[:, None] + b], 0)
-        t = lam ^ jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), tb[:, :-1]], axis=1)
+        t = lam ^ gf_mul(discr[:, None], shift_b)
 
         upd = (2 * el <= r - 1) & ~zero_d                    # register swap
-        b_swap = jnp.where(lam == 0, _A,
-                           _mod255(iof[lam] - dlog[:, None] + _A))
+        # b(x) <- lambda(x) / discr (scalar inverse: two tiny gathers)
+        inv_d = ato[C.RS_NN - iof[jnp.maximum(discr, 1)]]    # [B]
+        b_swap = gf_mul(lam, inv_d[:, None])
         new_b = jnp.where(zero_d[:, None], shift_b,
                           jnp.where(upd[:, None], b_swap, shift_b))
         new_lam = jnp.where(zero_d[:, None], lam, t)
         el = jnp.where(upd, r - el, el)
         lam, b = new_lam, new_b
 
-    lam_log = iof[lam]                                       # [B, 11]
-    deg_lambda = jnp.max(jnp.where(lam_log != _A, idx[None, :], 0), axis=1)
+    deg_lambda = jnp.max(jnp.where(lam != 0, idx[None, :], 0), axis=1)
 
     # ---- Chien search (MXU bit-matmul over all 255 field elements) -------
     # q(i) = XOR_{j=0..10} lam[j] * alpha^(i*j); zero coefficients
@@ -181,36 +194,35 @@ def rs_decode_blocks(blocks: jax.Array):
     roots = jax.lax.top_k(-root_keys, NR)[0] * -1            # [B, 10] asc
     root_ok = roots < 999
 
-    # ---- Omega = s(x) * lambda(x) mod x^10, log form ----------------------
+    # ---- Omega = s(x) * lambda(x) mod x^10 (poly form, gather-free) -------
     ii = np.arange(NR)[:, None]          # omega coefficient index i
     jj = np.arange(NR + 1)[None, :]      # lambda index j
     pair_ok = (jj <= ii)
     s_idx = np.where(pair_ok, ii - jj, 0)
-    oterm = ato[slog[:, s_idx] + lam_log[:, jj]]
-    ovalid = pair_ok[None] & (slog[:, s_idx] != _A) & (lam_log[:, jj] != _A)
-    omega = _xor_reduce(jnp.where(ovalid, oterm, 0), axis=2)  # [B, 10]
-    omega_log = iof[omega]
+    oterm = gf_mul(s[:, s_idx], lam[:, None, :])             # [B, 10, 11]
+    omega = _xor_reduce(jnp.where(pair_ok[None], oterm, 0), axis=2)
 
     # ---- Forney error values at each root --------------------------------
+    # powers pw[b, slot, k] = alpha^(k * root) built by iterated gf_mul
+    safe_root = jnp.where(root_ok, roots, 0)
+    alpha_r = ato[safe_root]                                 # [B, 10]
+    pw_list = [jnp.ones_like(alpha_r)]
+    for _ in range(NR - 1):
+        pw_list.append(gf_mul(pw_list[-1], alpha_r))
+    pw = jnp.stack(pw_list, axis=2)                          # [B, 10, 10]
+
     deg_omega = deg_lambda - 1
     k = np.arange(NR, dtype=np.int32)                        # [10]
-    # num1 = omega(inv X) style sum, per root slot
-    n1_exp = _mod255(omega_log[:, None, :] + k[None, None, :] *
-                     roots[:, :, None])
-    n1_term = ato[n1_exp]                                    # [B, 10, 10]
-    n1_valid = (omega_log[:, None, :] != _A) & \
-        (k[None, None, :] <= deg_omega[:, None, None])
+    n1_term = gf_mul(omega[:, None, :], pw)                  # [B, 10, 10]
+    n1_valid = k[None, None, :] <= deg_omega[:, None, None]
     num1 = _xor_reduce(jnp.where(n1_valid, n1_term, 0), axis=2)  # [B, 10r]
 
-    num2 = ato[C.RS_NN - roots]                              # [B, 10]
+    num2 = ato[C.RS_NN - safe_root]                          # [B, 10]
 
     keven = np.arange(0, NR, 2, dtype=np.int32)              # [5]
     top = jnp.minimum(deg_lambda, NR - 1) & ~1               # [B]
-    d_exp = _mod255(lam_log[:, None, keven + 1] + keven[None, None, :] *
-                    roots[:, :, None])
-    d_term = ato[d_exp]                                      # [B, 10, 5]
-    d_valid = (lam_log[:, None, keven + 1] != _A) & \
-        (keven[None, None, :] <= top[:, None, None])
+    d_term = gf_mul(lam[:, None, keven + 1], pw[:, :, keven])
+    d_valid = keven[None, None, :] <= top[:, None, None]
     den = _xor_reduce(jnp.where(d_valid, d_term, 0), axis=2)  # [B, 10]
 
     tmp = iof[num1] + iof[num2] + (C.RS_NN - iof[den])
