@@ -38,7 +38,7 @@ def main():
     from viterbi_tpu.ops import acs, traceback
 
     framebits = int(os.environ.get("BENCH_FRAMEBITS", 3072))
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
     iters = int(os.environ.get("BENCH_ITERS", 100))
     variant = os.environ.get("BENCH_VARIANT", "auto")
 
@@ -53,14 +53,19 @@ def main():
 
     nsteps = framebits + C.TAIL_BITS
     rng = np.random.default_rng(0)
-    syms = jnp.asarray(rng.integers(0, 256, (batch, C.RATE * nsteps),
-                                    dtype=np.int32))
+    syms_np = rng.integers(0, 256, (batch, C.RATE * nsteps), dtype=np.int32)
+    syms = jnp.asarray(syms_np)
 
     if use_pallas:
         from viterbi_tpu.ops import acs_pallas
 
+        # host-natural packed layout: one int32 word per trellis step
+        # (a byte-reinterpret of the DAB symbol stream — see
+        # acs_pallas.pack_symbols_host), 4x less host->device traffic
+        syms = jnp.asarray(acs_pallas.pack_symbols_host(syms_np))
+
         def decode(symbols):
-            return acs_pallas.decode(symbols, framebits)
+            return acs_pallas.decode(symbols, framebits, packed="bt")
     elif variant == "jax_scan":
         def decode(symbols):
             decisions, _ = acs.forward(symbols, nsteps)

@@ -50,6 +50,49 @@ def test_regs_decode_with_entry_metrics():
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
 
 
+@pytest.mark.parametrize("packed", [False, "bt"])
+@pytest.mark.parametrize("mxu", [False, True])
+def test_regs_variants_bit_exact(mxu, packed):
+    """MXU-expanded branch metrics and packed symbol layouts are
+    bit-exact vs the baseline CG kernel (and the golden model)."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    framebits = 192
+    bits, syms = channel.make_frames(2, framebits, seed=17)
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    arr = syms.astype(np.int32)
+    if packed == "bt":
+        arr = acs_pallas.pack_symbols_host(arr)
+    out = acs_pallas.decode(jnp.asarray(arr), framebits, interpret=True,
+                            mxu=mxu, packed=packed)
+    assert np.array_equal(np.asarray(out), expect)
+
+
+def test_pack_symbols_host_matches_device():
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    rng = np.random.default_rng(3)
+    syms = rng.integers(0, 256, (3, 4 * 54), dtype=np.int32)
+    want = np.asarray(acs_pallas.pack_symbols(jnp.asarray(syms), 54))
+    got = acs_pallas.pack_symbols_host(syms).T
+    assert np.array_equal(want, got)
+
+
+def test_chainback_regs_pallas_parity():
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas, traceback
+    framebits = 744   # nsteps = 750: ckpt 6 — several checkpoints
+    nsteps = framebits + C.TAIL_BITS
+    ckpt = acs_pallas.choose_ckpt(nsteps)
+    bits, syms = channel.make_frames(2, framebits, seed=5)
+    regs, _ = acs_pallas.forward_regs(jnp.asarray(syms.astype(np.int32)),
+                                      nsteps, interpret=True)
+    want = np.asarray(traceback.chainback_regs(regs, framebits, ckpt=ckpt))
+    got = np.asarray(traceback.chainback_regs_pallas(
+        regs, framebits, ckpt=ckpt, interpret=True))
+    assert np.array_equal(want, got)
+
+
 def test_choose_ckpt_properties():
     from viterbi_tpu.ops import acs_pallas
     for bitrate in (8, 32, 64, 96, 128, 192, 384):

@@ -219,8 +219,8 @@ def _choose_time_chunk(nsteps: int, ckpt: int, target: int = 200) -> int:
     return best * ckpt
 
 
-def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
-                    reg_ref, met_ref, metrics, regs):
+def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
+                    init_ref, reg_ref, met_ref, metrics, regs):
     """Constant-geometry register-exchange ACS.
 
     The naive butterfly interleaves the 64-state (sublane) axis every
@@ -280,10 +280,14 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
         return M.reshape(8, 8, B).transpose(1, 0, 2).reshape(64, B)
 
     def one_step(t, phase, mv, rv):
-        s4 = sym_ref[pl.ds(t, 1)][0]
+        if packed:
+            srow = sym_ref[pl.ds(t, 1)][0]                  # [1, B] i32
+            sq = [((srow >> (8 * q)) & 255).astype(mdt) for q in range(4)]
+        else:
+            s4 = sym_ref[pl.ds(t, 1)][0]
+            sq = [(s4[q][None, :] & 0xFF).astype(mdt) for q in range(4)]
         xm = xmasks[phase]
-        a = [jnp.broadcast_to((s4[q][None, :] & 0xFF).astype(mdt),
-                              (32, B)) ^ xm[q] for q in range(4)]
+        a = [jnp.broadcast_to(sq[q], (32, B)) ^ xm[q] for q in range(4)]
         avg = lambda x, y: (x + y + 1) >> 1
         m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & c63
         cm = c63 - m
@@ -308,6 +312,133 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
                 t = t0 + 3 * half + phase
                 mcur, rcur = one_step(t, phase, mcur, rcur)
                 if (3 * half + phase) % 2 == 1:  # after steps 1, 3, 5
+                    sub = jnp.where(
+                        mcur[0:1, :] > C.RENORMALIZE_THRESHOLD, c63, zero)
+                    mcur = jnp.maximum(mcur - sub, zero)
+            mcur = reset(mcur)
+            rcur = reset(rcur)
+
+        @pl.when((t0 + 6) % ckpt == 0)
+        def _():
+            reg_ref[pl.ds((t0 + 6) // ckpt - 1, 1)] = rcur[None]
+        return mcur, rcur
+
+    mfin, rfin = jax.lax.fori_loop(0, time_chunk // 6, six,
+                                   (metrics[:], regs[:]))
+    metrics[:] = mfin
+    regs[:] = rfin
+    met_ref[:] = mfin
+
+
+def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
+                        init_ref, reg_ref, met_ref, metrics, regs):
+    """Constant-geometry ACS with MXU-expanded branch metrics.
+
+    The avg-tree runs once per step on an [8, B] tile (the 8 distinct
+    polarity patterns (p0, p1, p2); p3 == p0 since g0 == g3), instead of
+    on the full [32, B] butterfly rows. The per-phase expansion to the
+    [m; cm] [64, B] row layout is a one-hot bf16 matmul on the otherwise
+    idle MXU — metric values <= 63 are exact in bf16, and each output row
+    has exactly one nonzero term, so the expansion is bit-exact. The
+    matmul has no dependence on the ACS carry, so it overlaps the VPU
+    butterfly work of neighbouring steps.
+
+    Geometry, numerics, and checkpoint layout identical to
+    _kernel_regs_cg.
+    """
+    B = metrics.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        metrics[:] = init_ref[:]
+        regs[:] = jnp.zeros_like(regs)
+
+    c255 = jnp.asarray(255, mdt)
+    c63 = jnp.asarray(63, mdt)
+    zero = jnp.asarray(0, mdt)
+
+    # Pattern-tree polarity masks: row r of the [8, B] tile is pattern
+    # (p0, p1, p2) = (bit2, bit1, bit0) of r; x_q = 255 if p_q else 0.
+    prow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    xm8 = [(((prow >> (2 - min(q, 2))) & 1) * 255).astype(jnp.int32)
+           for q in range(3)]
+    xm8.append(xm8[0])                     # g3 == g0
+
+    def expand_matrix(phase):
+        # P[64, 16]: row r<32 selects m8[pat(b(r))], row r>=32 selects
+        # cm8[pat(b(r-32))] (= column 8 + pat), where b is the
+        # predecessor state of compacted lo-row r at this phase.
+        k = 5 - phase
+        S = 1 << k
+        r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 16), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (64, 16), 1)
+        r = r64 & 31
+        j = ((r >> k) << (k + 1)) | (r & (S - 1))
+        b = ((j << phase) | (j >> (6 - phase))) & 63
+        pat = ((jax.lax.population_count((b << 1) & int(C.POLYS[0])) & 1)
+               << 2)
+        pat = pat | ((jax.lax.population_count((b << 1) & int(C.POLYS[1]))
+                      & 1) << 1)
+        pat = pat | (jax.lax.population_count((b << 1) & int(C.POLYS[2]))
+                     & 1)
+        col = pat + jnp.where(r64 >= 32, 8, 0)
+        return (c == col).astype(jnp.bfloat16)
+
+    Ps = [expand_matrix(p) for p in range(3)]
+
+    def split(M, phase):
+        k = 5 - phase
+        S = 1 << k
+        G = 32 // S
+        Mr = M.reshape(G, 2, S, B)
+        return Mr[:, 0].reshape(32, B), Mr[:, 1].reshape(32, B)
+
+    def merge(lo, hi, phase):
+        k = 5 - phase
+        S = 1 << k
+        G = 32 // S
+        return jnp.stack([lo.reshape(G, S, B), hi.reshape(G, S, B)],
+                         axis=1).reshape(64, B)
+
+    def reset(M):
+        return M.reshape(8, 8, B).transpose(1, 0, 2).reshape(64, B)
+
+    def one_step(t, phase, mv, rv):
+        if packed:
+            srow = sym_ref[pl.ds(t, 1)][0]                  # [1, B] i32
+            sq = [(srow >> (8 * q)) & 255 for q in range(4)]
+        else:
+            s4 = sym_ref[pl.ds(t, 1)][0]
+            sq = [s4[q][None, :] & 0xFF for q in range(4)]
+        a = [jnp.broadcast_to(sq[q], (8, B)) ^ xm8[q] for q in range(4)]
+        avg = lambda x, y: (x + y + 1) >> 1
+        m8 = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & 63
+        X = jnp.concatenate([m8, 63 - m8], axis=0).astype(jnp.bfloat16)
+        M64 = jax.lax.dot_general(
+            Ps[phase], X, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(mdt)
+        m, cm = M64[:32], M64[32:]
+        lo, hi = split(mv, phase)
+        sat = lambda x: jnp.minimum(x, c255)
+        p0e, p1e = sat(lo + m), sat(hi + cm)
+        p0o, p1o = sat(lo + cm), sat(hi + m)
+        dec_e = p1e <= p0e
+        dec_o = p1o <= p0o
+        new = merge(jnp.minimum(p0e, p1e), jnp.minimum(p0o, p1o), phase)
+        rlo, rhi = split(rv, phase)
+        reg_e = jnp.where(dec_e, rhi, rlo) << 1
+        reg_o = (jnp.where(dec_o, rhi, rlo) << 1) | 1
+        new_regs = merge(reg_e, reg_o, phase)
+        return new, new_regs
+
+    def six(i, carry):
+        mcur, rcur = carry
+        t0 = 6 * i
+        for half in range(2):
+            for phase in range(3):
+                t = t0 + 3 * half + phase
+                mcur, rcur = one_step(t, phase, mcur, rcur)
+                if (3 * half + phase) % 2 == 1:
                     sub = jnp.where(
                         mcur[0:1, :] > C.RENORMALIZE_THRESHOLD, c63, zero)
                     mcur = jnp.maximum(mcur - sub, zero)
@@ -402,20 +533,55 @@ def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
     met_ref[:] = mfin
 
 
+def pack_symbols(symbols: jax.Array, nsteps: int) -> jax.Array:
+    """[B, >=4*nsteps] soft symbols -> time-major packed [nsteps, B] i32.
+
+    One trellis step's four symbols occupy one int32 (sym j in byte j) —
+    the layout the fast kernels consume. 4x less transpose traffic than
+    the [nsteps, 4, B] form; a host runtime can also deliver this layout
+    directly (native/vitio.cpp packs it on ingest).
+    """
+    s = symbols[:, : 4 * nsteps].astype(jnp.int32) & 0xFF
+    s = s.reshape(symbols.shape[0], nsteps, 4)
+    packed = (s[..., 0] | (s[..., 1] << 8) | (s[..., 2] << 16)
+              | (s[..., 3] << 24))
+    return packed.T                                    # [nsteps, B]
+
+
+def pack_symbols_host(symbols: np.ndarray) -> np.ndarray:
+    """Host-side zero-arithmetic packing: [B, 4T] soft symbols (values
+    0..255 in any integer dtype) -> [B, T] int32, one trellis step per
+    word. The DAB symbol stream already arrives as consecutive bytes
+    s0 s1 s2 s3 per step, so this is a byte-reinterpret (little-endian),
+    the layout native/vitio.cpp produces on ingest — and it cuts
+    host->device transfer 4x vs u32-per-symbol.
+    """
+    b, s4 = symbols.shape
+    assert s4 % 4 == 0
+    return np.ascontiguousarray(symbols.astype(np.uint8)).view(
+        np.int32).reshape(b, s4 // 4)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
-                                    "b_tile", "metric_dtype", "ckpt"))
+                                    "b_tile", "metric_dtype", "ckpt",
+                                    "mxu", "packed"))
 def forward_regs(symbols: jax.Array, nsteps: int,
                  initial_metrics: jax.Array | None = None,
                  time_chunk: int | None = None, interpret: bool = False,
-                 b_tile: int = 1024, metric_dtype=jnp.int32,
-                 ckpt: int | None = None):
+                 b_tile: int = 512, metric_dtype=jnp.int32,
+                 ckpt: int | None = None, mxu: bool = True,
+                 packed: bool | str = False):
     """Fused forward pass with path-register checkpoints.
 
-    ``symbols``: [B, >=4*nsteps] int32. Returns (ckpt_regs
-    int32[nsteps//choose_ckpt(nsteps), 64, B], final_metrics
-    int32[B, 64]). Checkpoint k holds, per state, the last 32
-    survivor-path input bits as of trellis time (k+1)*ckpt.
+    ``symbols``: [B, >=4*nsteps] int32 — or pre-packed one-word-per-step
+    int32 (see ``pack_symbols``/``pack_symbols_host``): time-major
+    [nsteps, B] with ``packed=True``/``packed="tb"``, or frame-major
+    [B, nsteps] with ``packed="bt"`` (the host-natural layout; a single
+    int32 transpose happens on device).
+    Returns (ckpt_regs int32[nsteps//choose_ckpt(nsteps), 64, B],
+    final_metrics int32[B, 64]). Checkpoint k holds, per state, the last
+    32 survivor-path input bits as of trellis time (k+1)*ckpt.
     """
     assert nsteps % 2 == 0
     if ckpt is None:
@@ -424,17 +590,31 @@ def forward_regs(symbols: jax.Array, nsteps: int,
     if time_chunk is None:
         time_chunk = _choose_time_chunk(nsteps, ckpt)
     assert time_chunk % ckpt == 0 and nsteps % time_chunk == 0
-    B = symbols.shape[0]
+    if packed == "bt":
+        symbols = symbols.T                  # [B, nsteps] -> [nsteps, B]
+        packed = True
+    B = symbols.shape[1] if packed else symbols.shape[0]
     bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
     Bp = ((B + bt - 1) // bt) * bt
     nbt = Bp // bt
     nchunks = nsteps // time_chunk
     ncheck = nsteps // ckpt
 
-    syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
-    syms = syms.T.reshape(nsteps, 4, B)
-    if Bp != B:
-        syms = jnp.pad(syms, ((0, 0), (0, 0), (0, Bp - B)))
+    if packed:
+        assert symbols.shape[0] == nsteps
+        syms = symbols.astype(jnp.int32)
+        if Bp != B:
+            syms = jnp.pad(syms, ((0, 0), (0, Bp - B)))
+        syms = syms[:, None, :]                      # [nsteps, 1, Bp]
+        sym_spec = pl.BlockSpec((time_chunk, 1, bt), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
+        syms = syms.T.reshape(nsteps, 4, B)
+        if Bp != B:
+            syms = jnp.pad(syms, ((0, 0), (0, 0), (0, Bp - B)))
+        sym_spec = pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM)
 
     if initial_metrics is None:
         row = jax.lax.broadcasted_iota(jnp.int32, (64, Bp), 0)
@@ -444,15 +624,20 @@ def forward_regs(symbols: jax.Array, nsteps: int,
                        ((0, 0), (0, Bp - B)), constant_values=63)
     init = init.astype(metric_dtype)
 
-    kern_fn = _kernel_regs_cg if ckpt % 6 == 0 else _kernel_regs
-    kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype)
+    if ckpt % 6 == 0:
+        kern_fn = _kernel_regs_cg_mxu if mxu else _kernel_regs_cg
+        kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype,
+                                   packed)
+    else:
+        assert not packed, "packed input requires the CG kernels"
+        kern_fn = _kernel_regs
+        kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype)
     cpb = time_chunk // ckpt
     regs, fmetrics = pl.pallas_call(
         kernel,
         grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
         in_specs=[
-            pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
+            sym_spec,
             pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -480,5 +665,7 @@ def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     uint8[B, framebits//8]."""
     from . import traceback as tb
     nsteps = framebits + C.TAIL_BITS
+    interpret = kw.get("interpret", False)
     regs, _ = forward_regs(symbols, nsteps, **kw)
-    return tb.chainback_regs(regs, framebits, ckpt=choose_ckpt(nsteps))
+    return tb.chainback_regs_pallas(regs, framebits, ckpt=choose_ckpt(nsteps),
+                                    interpret=interpret)
