@@ -51,7 +51,70 @@ def test_fault_injection_latch_and_rearm():
 
     # RS null-pointer fault (test c in the reference)
     assert viterbi_tpu.rs_check_superframe(None, 0, 10, None) == -1
+    assert dispatch.state().safe_mode
     viterbi_tpu.initialize()
+
+
+def test_validation_error_does_not_latch():
+    """A caller's shape typo returns the error code but must NOT latch
+    safe mode for other callers — only faults attributed to our own
+    kernels latch (the reference's address-range attribution,
+    exc_handler.cpp:195,229-231)."""
+    framebits = 96
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, framebits, dtype=np.uint8)
+    syms = golden.hard_to_soft(golden.encode(bits))
+
+    # odd framebits: benign validation error
+    assert viterbi_tpu.deconvolve(95, syms) == 1
+    assert not dispatch.state().safe_mode
+    # too-short buffer: benign validation error
+    assert viterbi_tpu.deconvolve(framebits, syms[:10]) == 1
+    assert not dispatch.state().safe_mode
+    # bad rs_dims: benign
+    assert viterbi_tpu.rs_check_superframe(np.zeros(120, np.uint8),
+                                           0, 0) == -1
+    assert not dispatch.state().safe_mode
+    # decoder still works, no re-init needed
+    assert viterbi_tpu.deconvolve(framebits, syms) == 0
+
+
+def test_concurrent_callers_get_own_results():
+    """Two threads decoding different frames simultaneously must each
+    read their own result — the re-entrancy contract (README.md:56:
+    decisions on the caller's stack; QIRX v4 calls from multiple
+    threads)."""
+    import threading
+
+    framebits = 96
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (2, framebits), dtype=np.uint8)
+    syms = [golden.hard_to_soft(golden.encode(b)) for b in bits]
+    expect = [np.packbits(b) for b in bits]
+    # pre-compile both shapes to keep the race window in the decode path
+    viterbi_tpu.deconvolve(framebits, syms[0])
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def worker(i):
+        barrier.wait()
+        for _ in range(5):
+            out = np.zeros(framebits // 8, dtype=np.uint8)
+            ret = viterbi_tpu.deconvolve(framebits, syms[i], 0, out)
+            assert ret == 0
+            assert np.array_equal(out, expect[i]), "in-place buffer raced"
+            assert np.array_equal(viterbi_tpu.last_output(), expect[i]), \
+                "thread-local result channel raced"
+        results[i] = out
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert np.array_equal(results[0], expect[0])
+    assert np.array_equal(results[1], expect[1])
 
 
 def test_rs_superframe_api():
@@ -103,19 +166,28 @@ def test_config_template_and_show_info(tmp_path, monkeypatch, capsys):
 
 
 def test_batch_decode_variants_agree():
+    """All four decode variants — including the Pallas ones, exercised
+    through the real dispatch path via the ``interpret=1`` config key —
+    must produce identical, golden-exact decodes on identical noise
+    (the reference's cross-ISA parity test, viterbi-benchmark.cpp:
+    302,374)."""
     framebits = 192
     from viterbi_tpu.harness import channel
     bits, syms = channel.make_frames(3, framebits, seed=9)
-    config_mod.write_variant(0)
-    viterbi_tpu.initialize()
-    ret0, out0 = viterbi_tpu.deconvolve_batch(framebits, syms)
-    config_mod.write_variant(1)
-    viterbi_tpu.initialize()
-    ret1, out1 = viterbi_tpu.deconvolve_batch(framebits, syms)
-    assert ret0 == ret1 == 0
-    assert np.array_equal(out0, out1)
+    cfg_path = config_mod.ensure_config_file()
+    with open(cfg_path, "a") as f:
+        f.write("interpret=1\n")
+    outs = {}
+    for v in range(4):
+        config_mod.write_variant(v)
+        viterbi_tpu.initialize()
+        assert dispatch.state().variant == v, \
+            f"variant {v} not selectable with interpret=1"
+        ret, outs[v] = viterbi_tpu.deconvolve_batch(framebits, syms)
+        assert ret == 0
     expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
-    assert np.array_equal(out0, expect)
+    for v in range(4):
+        assert np.array_equal(outs[v], expect), f"variant {v} mismatch"
 
 
 def test_calllog_and_symbol_capture(tmp_path):

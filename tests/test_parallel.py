@@ -21,15 +21,20 @@ def test_data_parallel_sharded_decode_matches_golden():
     assert np.array_equal(out, expect)
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
 @pytest.mark.parametrize("n_data,n_seq", [(1, 8), (2, 4)])
-def test_streaming_matches_whole_decode(n_data, n_seq):
+def test_streaming_matches_whole_decode(n_data, n_seq, use_pallas):
+    """Streaming decode (XLA and Pallas fast paths) must be bit-equal
+    to the whole-stream golden decode; the Pallas path runs in
+    interpreter mode on the CPU test mesh."""
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
     framebits = 384 * n_seq          # per-device block 384 bits
     B = 2 * n_data
     bits, syms = channel.make_frames(B, framebits, seed=n_seq)
     mesh = mesh_mod.make_mesh(n_data=n_data, n_seq=n_seq)
-    out = np.asarray(streaming.decode_stream(syms.astype(np.int32),
-                                             framebits, mesh))
+    out = np.asarray(streaming.decode_stream(
+        syms.astype(np.int32), framebits, mesh,
+        use_pallas=use_pallas, interpret=use_pallas))
     expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
     assert np.array_equal(out, expect)
 

@@ -21,6 +21,8 @@ from .api import (  # noqa: F401
     deconvolve_batch,
     get_caps,
     initialize,
+    last_output,
+    last_rs_output,
     rs_check_superframe,
     wake_up,
 )

@@ -20,12 +20,29 @@ behavioral parity and for the fault-injection tests.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from . import constants as C
 from .runtime import calllog, dispatch, faults
 
 _SAFE = faults.SAFE_MODE_RETVAL
+
+# Per-thread result channel: the reference is re-entrant by design
+# (decisions live on the caller's stack, README.md:56); concurrent
+# Python callers must likewise never read each other's results.
+_tls = threading.local()
+
+
+def last_output() -> np.ndarray | None:
+    """This thread's most recent ``deconvolve`` result (packed bytes)."""
+    return getattr(_tls, "deco_out", None)
+
+
+def last_rs_output() -> np.ndarray | None:
+    """This thread's most recent ``rs_check_superframe`` data bytes."""
+    return getattr(_tls, "rs_out", None)
 
 
 def initialize(config_path: str | None = None) -> bool:
@@ -62,9 +79,25 @@ def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
     st = dispatch.state()
     syms = jnp.asarray(symbols, dtype=jnp.int32)
     variant = dispatch.VARIANTS[st.variant]
-    if variant in ("pallas", "pallas_fused"):
+    interpret = st.config.interpret and not (st.caps & dispatch.CAP_TPU)
+    if variant == "pallas_fused":
+        # register-exchange ACS + checkpoint-walk traceback (no
+        # decisions array) — the fastest path (docs/KERNELS.md)
         from .ops import acs_pallas
-        return np.asarray(acs_pallas.decode(syms, framebits))
+        return np.asarray(acs_pallas.decode(syms, framebits,
+                                            interpret=interpret))
+    if variant == "pallas":
+        # decisions-kernel ACS (reference 2xu32 word layout,
+        # viterbi.h:89-92) + block-parallel traceback
+        from .ops import acs_pallas
+        decisions, _ = acs_pallas.forward(syms, framebits + C.TAIL_BITS,
+                                          interpret=interpret)
+        block = st.config.traceback_block
+        if framebits % block != 0:
+            block = next(b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1)
+                         if framebits % b == 0)
+        return np.asarray(traceback.chainback_blocked(decisions, framebits,
+                                                      block=block))
     decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
     if variant == "jax_blocked":
         block = st.config.traceback_block
@@ -88,7 +121,9 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
     of >= ceil(framebits/8) bytes, written in place.
     """
     if symbols is None or framebits is None:
-        raise faults.ValidationError("null symbol buffer")
+        # the reference would fault on the null deref inside the kernel
+        # (fault-injection test b, viterbi-benchmark.cpp:444-481)
+        raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
     if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
@@ -100,7 +135,7 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
         out = _decode_batch(syms[None, :], framebits)[0]
     if output is not None:
         output[: out.size] = out
-    deconvolve.last_output = out  # functional access for Python callers
+    _tls.deco_out = out  # per-thread functional access (last_output())
     return 0
 
 
@@ -108,7 +143,7 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
 def deconvolve_batch(framebits: int, symbols_batch) -> tuple[int, np.ndarray]:
     """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, fb//8])."""
     if symbols_batch is None:
-        raise faults.ValidationError("null symbol buffer")
+        raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
     if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
@@ -127,15 +162,18 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
 
     ``p``: array-like of rs_dims*120 bytes, byte-interleaved. Corrected
     rs_dims*110 data bytes are written to ``out_vector`` if given (and
-    exposed as ``rs_check_superframe.last_output``). ``start_ix`` is
+    exposed per-thread via ``last_rs_output()``). ``start_ix`` is
     accepted and ignored, as in the reference (rschecksf.cpp:69).
     """
     import jax.numpy as jnp
 
     from .ops import rs as rs_ops
 
-    if p is None or not rs_dims or rs_dims < 0:
-        raise faults.ValidationError("null superframe buffer")
+    if p is None:
+        # fault-injection test c: RScheckSuperframe(NULL, 0, 10, NULL)
+        raise faults.CrashError("null superframe buffer")
+    if not rs_dims or rs_dims < 0:
+        raise faults.ValidationError(f"bad rs_dims {rs_dims}")
     rs_dims = int(rs_dims)
     buf = np.asarray(p).reshape(-1)
     if buf.size < rs_dims * C.RS_N:
@@ -148,5 +186,5 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
     out = np.asarray(out)
     if out_vector is not None and errors != -1:
         out_vector[: out.size] = out
-    rs_check_superframe.last_output = out
+    _tls.rs_out = out
     return errors

@@ -98,16 +98,32 @@ def _stream_chainback_regs(regs, anchor_k, anchor_state, ckpt: int,
     return tb.packbits_msb(bits.T)
 
 
+def _auto_use_pallas() -> bool:
+    """Default the streaming fast path to Pallas on real TPU devices."""
+    try:
+        from ..ops import acs_pallas
+        return (acs_pallas.available()
+                and jax.devices()[0].platform == "tpu")
+    except Exception:
+        return False
+
+
 def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
-                        use_pallas: bool = False, interpret: bool = False):
+                        use_pallas: bool | None = None,
+                        interpret: bool = False):
     """Build a jitted sharded decoder for terminated streams of
     ``stream_bits`` data bits.
+
+    ``use_pallas=None`` selects the Pallas register-exchange fast path
+    automatically on TPU backends (the default in production).
 
     Returns ``decode(symbols, tail_syms)`` where
       * ``symbols``: int32[B, 4*stream_bits] — the data-bit symbols,
       * ``tail_syms``: int32[B, 4*TAIL_BITS] — the flush-bit symbols,
     yielding uint8[B, stream_bits // 8] packed data bits.
     """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas()
     n_seq = mesh.shape[mesh_mod.SEQ_AXIS]
     assert stream_bits % n_seq == 0
     tb_block = stream_bits // n_seq
@@ -138,11 +154,6 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
         is_first = d == 0
         is_last = d == n_seq - 1
 
-        def _vary(x):
-            # with check_vma off (needed for pallas_call inside
-            # shard_map) this is a no-op placeholder
-            return x
-
         if use_pallas:
             from ..ops import acs_pallas
             fwd = functools.partial(acs_pallas.forward_regs, ckpt=ckpt,
@@ -152,8 +163,8 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
 
         # (1) warm-up ACS over the block tail -> boundary metrics
         warm_syms = syms[:, -C.RATE * warm:]
-        init1 = _vary(jnp.where(is_first,
-                                acs.init_metrics(B), _uniform_metrics(B)))
+        init1 = jnp.where(is_first,
+                          acs.init_metrics(B), _uniform_metrics(B))
         if warm < tb_block:
             _, bmetrics = fwd(warm_syms, warm, initial_metrics=init1)
         else:
@@ -214,7 +225,8 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
 
 
 def decode_stream(symbols, framebits: int, mesh=None,
-                  overlap: int = DEFAULT_OVERLAP):
+                  overlap: int = DEFAULT_OVERLAP,
+                  use_pallas: bool | None = None, interpret: bool = False):
     """Convenience wrapper: ``symbols`` int[B, 4*(framebits+6)] for a
     terminated stream; splits data/tail symbols and decodes sharded."""
     if mesh is None:
@@ -223,5 +235,6 @@ def decode_stream(symbols, framebits: int, mesh=None,
     data_syms = symbols[:, : C.RATE * framebits]
     tail_syms = symbols[:, C.RATE * framebits: C.RATE * (framebits
                                                          + C.TAIL_BITS)]
-    return make_stream_decoder(mesh, framebits, overlap)(data_syms,
-                                                         tail_syms)
+    return make_stream_decoder(mesh, framebits, overlap,
+                               use_pallas=use_pallas,
+                               interpret=interpret)(data_syms, tail_syms)

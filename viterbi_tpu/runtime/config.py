@@ -38,6 +38,8 @@ a:0
 # traceback_block=64
 # log_calls=0
 # log_symbols=0
+# interpret=0   (run Pallas kernels in interpreter mode on non-TPU
+#                backends — enables variants 2/3 under CPU CI)
 """
 
 
@@ -57,6 +59,7 @@ class Config:
     traceback_block: int = 64
     log_calls: bool = False
     log_symbols: bool = False
+    interpret: bool = False        # Pallas interpreter mode off-TPU
     path: str = field(default_factory=default_path)
 
 
@@ -99,6 +102,8 @@ def load(path: str | None = None) -> Config:
             cfg.log_calls = val not in ("0", "false", "")
         elif key == "log_symbols":
             cfg.log_symbols = val not in ("0", "false", "")
+        elif key == "interpret":
+            cfg.interpret = val not in ("0", "false", "")
     return cfg
 
 

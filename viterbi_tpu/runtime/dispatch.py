@@ -34,14 +34,20 @@ CAP_MULTI_DEVICE = 1 << 4  # >1 addressable device (sharded decode)
 VARIANTS = (
     "jax_scan",      # 0: pure-JAX ACS + serial-scan traceback
     "jax_blocked",   # 1: pure-JAX ACS + block-parallel traceback
-    "pallas",        # 2: Pallas fused ACS kernel + blocked traceback
-    "pallas_fused",  # 3: Pallas fused ACS+traceback (reserved)
+    "pallas",        # 2: Pallas decisions-kernel ACS + blocked traceback
+    "pallas_fused",  # 3: Pallas register-exchange ACS + checkpoint walk
     "auto_best",     # 4: alias: measured-fastest (auto-tuner result)
 )
 
 
-def get_caps() -> int:
-    """Probe backend capabilities. Analog of GetCPUCaps."""
+def get_caps(interpret: bool = False) -> int:
+    """Probe backend capabilities. Analog of GetCPUCaps.
+
+    ``interpret`` (config key ``interpret=1``) grants CAP_PALLAS on
+    non-TPU backends by running Pallas kernels in interpreter mode —
+    the CI escape hatch that lets the real dispatch->Pallas path
+    execute without TPU hardware.
+    """
     caps = CAP_JAX | CAP_BLOCKED_TB
     try:
         devices = jax.devices()
@@ -50,6 +56,13 @@ def get_caps() -> int:
     platform = devices[0].platform if devices else "none"
     if platform == "tpu":
         caps |= CAP_TPU | CAP_PALLAS
+    elif interpret:
+        try:
+            from ..ops import acs_pallas
+            if acs_pallas.available():
+                caps |= CAP_PALLAS
+        except Exception:
+            pass
     if len(devices) > 1:
         caps |= CAP_MULTI_DEVICE
     return caps
@@ -66,7 +79,9 @@ def _variant_supported(index: int, caps: int) -> bool:
 
 
 def _best_variant(caps: int) -> int:
-    for index in (2, 1, 0):  # pallas_fused reserved until implemented
+    # pallas_fused (register-exchange, no decisions array) is the
+    # measured-fastest path on TPU (docs/KERNELS.md)
+    for index in (3, 1, 0):
         if _variant_supported(index, caps):
             return index
     return 0
@@ -99,7 +114,7 @@ def setup(config_path: str | None = None) -> DispatchState:
     variant. Analog of SetupDLL + SetupCpuDispatcher (setupdll.cpp:57-270).
     """
     cfg = config_mod.load(config_path)
-    caps = get_caps()
+    caps = get_caps(interpret=cfg.interpret)
     best = _best_variant(caps)
     variant = best
     if 0 <= cfg.variant_override <= 4:

@@ -7,10 +7,19 @@ kernels by binary-patching the fault away and latching the dispatcher to
 a safe no-op decoder until ``initialize()`` re-arms it. The TPU-native
 equivalents are:
 
-  * input validation before dispatch (the reference's crash triggers —
-    null symbol buffers, absurd framebits — become clean error paths),
-  * a catch-all around kernel execution that converts *any* device or
-    host exception into the same latch-and-degrade behavior,
+  * input validation before dispatch, split into two classes the way
+    the reference's address-range attribution splits faults
+    (exc_handler.cpp:195,229-231):
+      - ``CrashError`` — inputs that *would have faulted inside* the
+        reference's kernels (null buffers): return the error code AND
+        latch safe mode, exactly like the VEH path;
+      - ``ValidationError`` — benign caller typos (bad framebits, short
+        buffers) that a Python caller can make without any analog of a
+        hardware fault: return the error code WITHOUT latching, so one
+        caller's typo cannot degrade every other caller;
+  * a catch-all around kernel execution that converts any *other*
+    device or host exception into the latch-and-degrade behavior (the
+    fault originated in our code = inside the "DLL address range"),
   * ``initialize()`` clears the latch (runtime.dispatch.initialize).
 
 ``guarded`` is the decorator both hot API entry points go through.
@@ -19,6 +28,7 @@ equivalents are:
 from __future__ import annotations
 
 import functools
+import threading
 import traceback as _tb
 
 from . import dispatch
@@ -26,16 +36,19 @@ from . import dispatch
 SAFE_MODE_RETVAL = 1   # decon_savemode's return value (viterbi_helpers.asm)
 
 _last_fault: dict = {"exc": None, "trace": None, "count": 0}
+_fault_lock = threading.Lock()
 
 
 def last_fault() -> dict:
-    return dict(_last_fault)
+    with _fault_lock:
+        return dict(_last_fault)
 
 
 def record_fault(exc: BaseException) -> None:
-    _last_fault["exc"] = repr(exc)
-    _last_fault["trace"] = _tb.format_exc()
-    _last_fault["count"] += 1
+    with _fault_lock:
+        _last_fault["exc"] = repr(exc)
+        _last_fault["trace"] = _tb.format_exc()
+        _last_fault["count"] += 1
     dispatch.latch_safe_mode(exc)
 
 
@@ -44,7 +57,8 @@ def guarded(safe_retval):
 
     While safe mode is latched, calls return ``safe_retval`` immediately
     (the reference's blocked-until-initialize behavior,
-    viterbi-benchmark.cpp:456-464).
+    viterbi-benchmark.cpp:456-464). ``ValidationError`` returns the
+    error code without latching; everything else latches.
     """
     def deco(fn):
         @functools.wraps(fn)
@@ -53,7 +67,9 @@ def guarded(safe_retval):
                 return safe_retval
             try:
                 return fn(*args, **kwargs)
-            except Exception as exc:  # latch, degrade, survive
+            except ValidationError:   # benign typo: error, no latch
+                return safe_retval
+            except Exception as exc:  # kernel fault: latch, survive
                 record_fault(exc)
                 return safe_retval
         return wrapper
@@ -61,4 +77,10 @@ def guarded(safe_retval):
 
 
 class ValidationError(ValueError):
-    """Raised for inputs that would have crashed the reference."""
+    """Benign bad input (shape/size typo): error return, no latch."""
+
+
+class CrashError(RuntimeError):
+    """Input that would have faulted inside the reference's kernels
+    (null pointers): error return + safe-mode latch, mirroring the
+    vectored-exception-handler path."""
