@@ -6,11 +6,13 @@ rate. On real pods the "data" axis spans chips/hosts over ICI/DCN; in
 this environment it runs on the virtual CPU mesh (the driver validates
 the same sharding compiles multi-chip via dryrun_multichip).
 
-Usage: python -m viterbi_tpu.harness.scaling [frames_per_device] [framebits]
+Usage: python -m viterbi_tpu.harness.scaling [frames_per_device]
+       [framebits] [--json PATH]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -53,13 +55,39 @@ def sweep(frames_per_device: int = 32, framebits: int = 3072,
 
 
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
     fpd = int(argv[0]) if len(argv) > 0 else 32
     fb = int(argv[1]) if len(argv) > 1 else 3072
     results = sweep(fpd, fb)
     for n, r in results.items():
         print(f"devices={n:3d}  decoded {r['mbit_s']:10.2f} Mbit/s  "
               f"efficiency {r['efficiency']:6.1%}")
+    if json_path:
+        import os
+
+        import jax
+        platform = jax.devices()[0].platform
+        payload = {
+            "platform": platform,
+            "frames_per_device": fpd,
+            "framebits": fb,
+            "sweep": {str(n): r for n, r in results.items()},
+        }
+        if platform == "cpu" and len(jax.devices()) > (os.cpu_count() or 1):
+            payload["note"] = (
+                f"virtual {len(jax.devices())}-device mesh timeshares "
+                f"{os.cpu_count()} physical cores - efficiencies bound by "
+                f"cores/devices, not by the sharding (the artifact "
+                f"demonstrates the sweep runs; real scaling needs a pod "
+                f"slice)")
+        with open(json_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":

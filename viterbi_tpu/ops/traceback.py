@@ -38,7 +38,11 @@ except Exception:  # pragma: no cover
 
 from .. import constants as C
 
-_PACK_WEIGHTS = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))  # MSB first
+import numpy as _np
+
+# MSB first; a host constant (a module-level jnp array would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize)
+_PACK_WEIGHTS = (1 << _np.arange(7, -1, -1, dtype=_np.int32))
 
 
 def packbits_msb(bits: jax.Array) -> jax.Array:

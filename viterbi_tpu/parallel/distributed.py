@@ -16,24 +16,44 @@ should stay within a host's chips so boundary exchanges ride ICI:
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from . import mesh as mesh_mod
+
+_initialized = False
+
+# Environment markers that indicate a real multi-process launch (the
+# standard JAX cluster auto-detection inputs).
+_CLUSTER_ENV = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
 
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> bool:
     """Join the multi-host JAX runtime. Returns True if distributed mode
-    is active (more than one process)."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except (ValueError, RuntimeError):
-        # already initialized, or single-process environment
-        pass
+    is active (more than one process).
+
+    A misconfigured explicit coordinator RAISES rather than silently
+    degrading to single-process — a silent fallback would shard a pod
+    job onto one host and look like a perf bug. Only the genuinely
+    single-process case (no explicit args, no cluster environment) is
+    a no-op.
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    explicit = coordinator_address is not None
+    auto = any(os.environ.get(k) for k in _CLUSTER_ENV)
+    if not explicit and not auto:
+        return False          # single-process environment: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    _initialized = True
     return jax.process_count() > 1
 
 
