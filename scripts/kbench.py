@@ -77,6 +77,9 @@ def main():
         for mxu in (True, False):
             configs.append((f"fwd mxu={int(mxu)} bt={bt}", dict(
                 b_tile=bt, mxu=mxu)))
+    for bt in (256, 512):
+        configs.append((f"fwd mxu=1 f32 bt={bt}", dict(
+            b_tile=bt, mxu=True, metric_dtype=jnp.float32)))
     for name, kw in configs:
         # slice the outputs on device: only a [64,128] tile is fetched
         f = jax.jit(lambda s, kw=kw: jax.tree.map(

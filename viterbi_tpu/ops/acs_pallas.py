@@ -279,7 +279,7 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
         # rotr3 ordering fix: position p <- ((p & 7) << 3) | (p >> 3)
         return M.reshape(8, 8, B).transpose(1, 0, 2).reshape(64, B)
 
-    def one_step(t, phase, mv, rv):
+    def one_step(t, phase, pos, mv, rv):
         if packed:
             srow = sym_ref[pl.ds(t, 1)][0]                  # [1, B] i32
             sq = [((srow >> (8 * q)) & 255).astype(mdt) for q in range(4)]
@@ -289,7 +289,10 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
         xm = xmasks[phase]
         a = [jnp.broadcast_to(sq[q], (32, B)) ^ xm[q] for q in range(4)]
         avg = lambda x, y: (x + y + 1) >> 1
-        m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & c63
+        # no "& 63" after ">> 2": avg <= 255 so the shift already lands
+        # in [0, 63] (the reference's AND strips psrlw cross-byte bits, a
+        # no-op in int32 lanes)
+        m = avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2
         cm = c63 - m
         lo, hi = split(mv, phase)
         sat = lambda x: jnp.minimum(x, c255)
@@ -299,18 +302,23 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
         dec_o = p1o <= p0o
         new = merge(jnp.minimum(p0e, p1e), jnp.minimum(p0o, p1o), phase)
         rlo, rhi = split(rv, phase)
-        reg_e = jnp.where(dec_e, rhi, rlo) << 1
-        reg_o = (jnp.where(dec_o, rhi, rlo) << 1) | 1
+        # deferred-shift register exchange: the survivor's input bit is
+        # written at a static position (5 - step-in-window); one <<6 per
+        # 6-step window replaces a <<1 per step
+        reg_e = jnp.where(dec_e, rhi, rlo)
+        reg_o = jnp.where(dec_o, rhi, rlo) | (1 << pos)
         new_regs = merge(reg_e, reg_o, phase)
         return new, new_regs
 
     def six(i, carry):
         mcur, rcur = carry
         t0 = 6 * i
+        rcur = rcur << 6         # free bit positions 5..0 for this window
         for half in range(2):
             for phase in range(3):
                 t = t0 + 3 * half + phase
-                mcur, rcur = one_step(t, phase, mcur, rcur)
+                pos = 5 - (3 * half + phase)
+                mcur, rcur = one_step(t, phase, pos, mcur, rcur)
                 if (3 * half + phase) % 2 == 1:  # after steps 1, 3, 5
                     sub = jnp.where(
                         mcur[0:1, :] > C.RENORMALIZE_THRESHOLD, c63, zero)
@@ -403,7 +411,7 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     def reset(M):
         return M.reshape(8, 8, B).transpose(1, 0, 2).reshape(64, B)
 
-    def one_step(t, phase, mv, rv):
+    def one_step(t, phase, pos, mv, rv):
         if packed:
             srow = sym_ref[pl.ds(t, 1)][0]                  # [1, B] i32
             sq = [(srow >> (8 * q)) & 255 for q in range(4)]
@@ -412,7 +420,8 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
             sq = [s4[q][None, :] & 0xFF for q in range(4)]
         a = [jnp.broadcast_to(sq[q], (8, B)) ^ xm8[q] for q in range(4)]
         avg = lambda x, y: (x + y + 1) >> 1
-        m8 = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & 63
+        # ">> 2" already lands in [0, 63]; no "& 63" needed in i32 lanes
+        m8 = avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2
         X = jnp.concatenate([m8, 63 - m8], axis=0).astype(jnp.bfloat16)
         M64 = jax.lax.dot_general(
             Ps[phase], X, (((1,), (0,)), ((), ())),
@@ -426,18 +435,21 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
         dec_o = p1o <= p0o
         new = merge(jnp.minimum(p0e, p1e), jnp.minimum(p0o, p1o), phase)
         rlo, rhi = split(rv, phase)
-        reg_e = jnp.where(dec_e, rhi, rlo) << 1
-        reg_o = (jnp.where(dec_o, rhi, rlo) << 1) | 1
+        # deferred-shift register exchange (see _kernel_regs_cg)
+        reg_e = jnp.where(dec_e, rhi, rlo)
+        reg_o = jnp.where(dec_o, rhi, rlo) | (1 << pos)
         new_regs = merge(reg_e, reg_o, phase)
         return new, new_regs
 
     def six(i, carry):
         mcur, rcur = carry
         t0 = 6 * i
+        rcur = rcur << 6
         for half in range(2):
             for phase in range(3):
                 t = t0 + 3 * half + phase
-                mcur, rcur = one_step(t, phase, mcur, rcur)
+                pos = 5 - (3 * half + phase)
+                mcur, rcur = one_step(t, phase, pos, mcur, rcur)
                 if (3 * half + phase) % 2 == 1:
                     sub = jnp.where(
                         mcur[0:1, :] > C.RENORMALIZE_THRESHOLD, c63, zero)
