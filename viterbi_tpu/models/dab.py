@@ -107,3 +107,41 @@ def decode_audio_superframes(symbols: jax.Array, bitrate_kbps: int,
     audio = corrected[:, :, :C.RS_KK].transpose(0, 2, 1).reshape(
         B, cfg.rs_dims * C.RS_KK).astype(jnp.uint8)
     return audio, errors
+
+
+def depuncture_device(received: jax.Array, mask) -> jax.Array:
+    """Jittable depuncture: [B, n_kept] soft symbols -> [B, 4*(I+6)].
+
+    ``mask`` is a host-side uint8 transmission mask
+    (models.puncture.frame_mask); punctured positions become the neutral
+    soft value. The scatter compiles to one static-index set.
+    """
+    import numpy as np
+    from . import puncture as P
+    mask = np.asarray(mask, dtype=bool)
+    idx = jnp.asarray(np.nonzero(mask)[0])
+    B = received.shape[0]
+    out = jnp.full((B, mask.size), P.NEUTRAL_SOFT, dtype=jnp.int32)
+    return out.at[:, idx].set(received.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("bitrate_kbps", "level", "profile",
+                                   "use_pallas"))
+def decode_punctured_frames(received: jax.Array, bitrate_kbps: int,
+                            level: int, profile: str = "A",
+                            use_pallas: bool = False) -> jax.Array:
+    """Decode punctured logical frames of an EEP-protected subchannel.
+
+    ``received``: int32[B, transmitted_bits] punctured soft symbols (the
+    over-the-air layout). Depunctures to the rate-1/4 mother stream and
+    runs the batched Viterbi decode. Returns uint8[B, framebits//8].
+    """
+    from . import puncture as P
+    cfg = SubchannelConfig(bitrate_kbps)
+    mask = P.frame_mask(bitrate_kbps, level, profile)
+    full = depuncture_device(received, mask)
+    if use_pallas:
+        from ..ops import acs_pallas
+        return acs_pallas.decode(full, cfg.framebits)
+    decisions, _ = acs.forward(full, cfg.framebits + C.TAIL_BITS)
+    return traceback.chainback_scan(decisions, cfg.framebits)
