@@ -22,3 +22,31 @@ def test_capture_then_replay(tmp_path, monkeypatch):
     from viterbi_tpu.harness import replay
     n_ok, n_total, report = replay.replay(base + "_sym")
     assert n_total == 2 and n_ok == 2, report
+
+
+def test_summary_on_disable(tmp_path, monkeypatch):
+    """Disabling logging appends the unload-style summary
+    (dllmain.cpp:325-357 analog): call counts, durations, min/max
+    buffer footprint."""
+    monkeypatch.setenv("VITERBI_TPU_CONFIG", str(tmp_path / "cfg.txt"))
+    viterbi_tpu.initialize()
+    base = str(tmp_path / "log")
+    calllog.configure(True, False, base)
+    rng = np.random.default_rng(1)
+    for framebits in (48, 96):
+        bits = rng.integers(0, 2, framebits, dtype=np.uint8)
+        syms = golden.hard_to_soft(golden.encode(bits))
+        assert viterbi_tpu.deconvolve(framebits, syms) == 0
+
+    stats = calllog.summary()
+    assert stats["calls"] == 2
+    deco = stats["stats"]["deco"]
+    assert deco["count"] == 2 and deco["total_us"] > 0
+    # footprint: 4*(48+6) and 4*(96+6) u32 symbol buffers
+    assert deco["min_bytes"] == 4 * 4 * 54
+    assert deco["max_bytes"] == 4 * 4 * 102
+
+    calllog.configure(False)
+    text = open(base + ".log").read()
+    assert "--- summary: 2 calls" in text
+    assert "deco: 2 calls" in text

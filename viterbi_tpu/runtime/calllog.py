@@ -9,10 +9,21 @@ streams are appended to a ``.sym.npy``-per-call directory — the
 mechanism for harvesting real traffic as replay fixtures (SURVEY.md §4
 item 4). Runtime-togglable (config `log_calls=1`) instead of the
 reference's compile-time #ifdef.
+
+A cumulative summary — per-kind call counts, total/max durations,
+min/max buffer footprint, wall-clock span — is appended to the log when
+logging is disabled or at interpreter exit: the analog of the
+reference's unload-time summary (dllmain.cpp:325-357,
+VIT_INCLUDE_SUMMARY viterbi.h:69-70).
+
+``configure(..., profile_dir=...)`` additionally starts a JAX profiler
+trace (viewable in TensorBoard/Perfetto) and wraps each hot call in a
+named TraceAnnotation.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import threading
 import time
@@ -25,14 +36,25 @@ _lock = threading.Lock()
 _state = {
     "enabled": False, "symbols": False, "path": None,
     "seq": 0, "last_entry": 0.0, "entry_depth": 0, "sym_dir": None,
+    "stats": {}, "t_enabled": None, "profile_dir": None,
+    "profiling": False,
 }
 
 
 def configure(enabled: bool, symbols: bool = False,
-              path: str | None = None) -> None:
+              path: str | None = None,
+              profile_dir: str | None = None) -> None:
+    summary_text = None
     with _lock:
+        was_enabled = _state["enabled"]
+        if was_enabled and not enabled:
+            summary_text = _summary_text_locked()
         _state["enabled"] = enabled
         _state["symbols"] = symbols
+        if enabled and not was_enabled:
+            _state["stats"] = {}
+            _state["seq"] = 0
+            _state["t_enabled"] = time.time()
         if enabled:
             base = path or os.path.join(
                 os.path.dirname(config_mod.default_path()),
@@ -43,10 +65,75 @@ def configure(enabled: bool, symbols: bool = False,
             if symbols:
                 _state["sym_dir"] = base + "_sym"
                 os.makedirs(_state["sym_dir"], exist_ok=True)
+    if summary_text is not None:
+        _append(summary_text)
+        _stop_profiler()
+    if enabled and profile_dir:
+        _start_profiler(profile_dir)
 
 
 def enabled() -> bool:
     return _state["enabled"]
+
+
+def _start_profiler(profile_dir: str) -> None:
+    try:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+        _state["profile_dir"] = profile_dir
+        _state["profiling"] = True
+    except Exception:
+        _state["profiling"] = False
+
+
+def _stop_profiler() -> None:
+    if _state["profiling"]:
+        try:
+            import jax
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        _state["profiling"] = False
+
+
+def _append(text: str) -> None:
+    if _state["path"] is None:
+        return
+    try:
+        with open(_state["path"], "a") as f:
+            f.write(text)
+    except OSError:
+        pass
+
+
+def _summary_text_locked() -> str:
+    span = (time.time() - _state["t_enabled"]) if _state["t_enabled"] else 0
+    lines = [f"--- summary: {_state['seq']} calls in {span:.1f} s ---\n"]
+    for kind, s in sorted(_state["stats"].items()):
+        lines.append(
+            f"  {kind}: {s['count']} calls, total {s['total_us']/1e3:.1f} ms,"
+            f" max {s['max_us']:.0f} us, buffers {s['min_bytes'] or 0}"
+            f"..{s['max_bytes']} B\n")
+    return "".join(lines)
+
+
+def summary() -> dict:
+    """Cumulative stats since logging was enabled (also appended to the
+    log on disable/exit)."""
+    with _lock:
+        return {
+            "calls": _state["seq"],
+            "stats": {k: dict(v) for k, v in _state["stats"].items()},
+        }
+
+
+@atexit.register
+def _exit_summary() -> None:  # pragma: no cover - exercised at exit
+    if _state["enabled"]:
+        with _lock:
+            text = _summary_text_locked()
+        _append(text)
+        _stop_profiler()
 
 
 class record:
@@ -55,6 +142,8 @@ class record:
     def __init__(self, kind: str, **shape):
         self.kind = kind
         self.shape = shape
+        self.nbytes = 0
+        self._ann = None
 
     def __enter__(self):
         if not _state["enabled"]:
@@ -68,29 +157,49 @@ class record:
             self.dt_ms = ((now - _state["last_entry"]) * 1e3
                           if _state["last_entry"] else 0.0)
             _state["last_entry"] = now
+        if _state["profiling"]:
+            try:
+                import jax
+                self._ann = jax.profiler.TraceAnnotation(
+                    f"viterbi_tpu.{self.kind}")
+                self._ann.__enter__()
+            except Exception:
+                self._ann = None
         self.t0 = time.perf_counter()
         return self
 
     def capture_symbols(self, symbols) -> None:
+        arr = np.asarray(symbols)
+        self.nbytes = arr.nbytes
         if _state["enabled"] and _state["symbols"]:
             np.save(os.path.join(_state["sym_dir"],
-                                 f"{self.seq:08d}_{self.kind}.npy"),
-                    np.asarray(symbols))
+                                 f"{self.seq:08d}_{self.kind}.npy"), arr)
 
     def __exit__(self, *exc):
         if not _state["enabled"]:
             return False
+        if self._ann is not None:
+            try:
+                self._ann.__exit__(*exc)
+            except Exception:
+                pass
         dur_us = (time.perf_counter() - self.t0) * 1e6
         with _lock:
             _state["entry_depth"] -= 1
+            s = _state["stats"].setdefault(self.kind, {
+                "count": 0, "total_us": 0.0, "max_us": 0.0,
+                "min_bytes": None, "max_bytes": 0})
+            s["count"] += 1
+            s["total_us"] += dur_us
+            s["max_us"] = max(s["max_us"], dur_us)
+            if self.nbytes:
+                s["min_bytes"] = (self.nbytes if s["min_bytes"] is None
+                                  else min(s["min_bytes"], self.nbytes))
+                s["max_bytes"] = max(s["max_bytes"], self.nbytes)
             shape = " ".join(f"{k}={v}" for k, v in self.shape.items())
             line = (f"{self.seq:6d}  {time.strftime('%H:%M:%S')}"
                     f"  dT: {self.dt_ms:8.3f} ms  TID: {threading.get_ident() & 0xFFFF:5d}"
                     f"  {self.kind}: {dur_us:9.1f} us  ReE: {self.depth - 1}"
                     f"  {shape}\n")
-            try:
-                with open(_state["path"], "a") as f:
-                    f.write(line)
-            except OSError:
-                pass
+        _append(line)
         return False
