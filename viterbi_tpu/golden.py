@@ -136,6 +136,87 @@ def deconvolve(framebits: int, symbols: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Tail-biting wrap decode (north-star item; no reference analog — the
+# DAB mother code is terminated, SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def encode_tailbiting(bits: np.ndarray) -> np.ndarray:
+    """Tail-biting encode: the shift register is preloaded with the last
+    6 data bits so start and end states coincide; no flush tail.
+    Returns uint8[4*framebits] hard symbols."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    sr = 0
+    for b in bits[-C.TAIL_BITS:]:
+        sr = ((sr << 1) | int(b)) & 0x7F
+    out = np.empty(C.RATE * len(bits), dtype=np.uint8)
+    for i, b in enumerate(bits):
+        sr = ((sr << 1) | int(b)) & 0x7F
+        for j, poly in enumerate(C.POLYS):
+            out[C.RATE * i + j] = bin(sr & poly).count("1") & 1
+    return out
+
+
+def _acs_pass(metrics: np.ndarray, symbols: np.ndarray, t0: int,
+              nsteps: int, decisions: np.ndarray | None):
+    """Shared ACS loop body over steps t0..t0+nsteps-1 (wrap indexing
+    into ``symbols``); renormalization fires on odd *local* step
+    indices, preserving the reference's 2-step cadence."""
+    total = symbols.size // C.RATE
+    for local in range(nsteps):
+        t = (t0 + local) % total
+        m = branch_metrics(symbols[C.RATE * t: C.RATE * (t + 1)])
+        cm = 63 - m
+        lo, hi = metrics[:32], metrics[32:]
+        sat = lambda x: np.minimum(x, C.METRIC_MAX)
+        p0e, p1e = sat(lo + m), sat(hi + cm)
+        p0o, p1o = sat(lo + cm), sat(hi + m)
+        new = np.empty_like(metrics)
+        new[0::2] = np.minimum(p0e, p1e)
+        new[1::2] = np.minimum(p0o, p1o)
+        if decisions is not None:
+            decisions[local, 0::2] = (p1e <= p0e)
+            decisions[local, 1::2] = (p1o <= p0o)
+        metrics = new
+        if local % 2 == 1 and metrics[0] > C.RENORMALIZE_THRESHOLD:
+            metrics = np.maximum(metrics - C.RENORM_SUB, 0)
+    return metrics
+
+
+def tailbiting_decode(framebits: int, symbols: np.ndarray,
+                      wrap_steps: int = 96) -> np.ndarray:
+    """Tail-biting decode via the standard wrap heuristic.
+
+    Procedure (the defined semantics every implementation must match
+    bit-for-bit): (1) uniform zero initial metrics; (2) warm-up ACS over
+    the last ``wrap_steps`` trellis steps — the decoder forgets its
+    initial condition in ~5K steps, so the warm-up output approximates
+    the circular steady state; (3) main ACS pass over all ``framebits``
+    steps, recording decisions; (4) anchor at the best end state (lowest
+    metric, lowest index on ties); (5) circular chainback: the decision
+    at step t yields data bit (t - 6) mod framebits.
+
+    Returns uint8[framebits//8] MSB-first packed bytes.
+    """
+    symbols = np.asarray(symbols).reshape(-1)
+    assert symbols.size >= C.RATE * framebits
+    assert wrap_steps % 2 == 0 and wrap_steps <= framebits
+    symbols = symbols[: C.RATE * framebits]
+    metrics = np.zeros(C.NUM_STATES, dtype=np.int32)
+    metrics = _acs_pass(metrics, symbols, framebits - wrap_steps,
+                        wrap_steps, None)
+    decisions = np.zeros((framebits, C.NUM_STATES), dtype=np.uint8)
+    metrics = _acs_pass(metrics, symbols, 0, framebits, decisions)
+    state = int(np.argmin(metrics))
+    out_bits = np.zeros(framebits, dtype=np.uint8)
+    for t in range(framebits - 1, -1, -1):
+        k = int(decisions[t, state])
+        out_bits[(t - C.TAIL_BITS) % framebits] = k
+        state = (state >> 1) | (k << 5)
+    return np.packbits(out_bits)
+
+
+# ---------------------------------------------------------------------------
 # Reed-Solomon RS(120,110) decoder (scalar, bit-exact)
 # ---------------------------------------------------------------------------
 
