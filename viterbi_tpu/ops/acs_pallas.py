@@ -37,8 +37,10 @@ except Exception:  # pragma: no cover
 
 from .. import constants as C
 
-# Default trellis-time chunk per grid step (must be even).
-TIME_CHUNK = 126  # divides 4608+6? no — grid handles remainder by masking
+# Default trellis-time chunk per grid step of the decisions kernel
+# (must be even). Need not divide nsteps: the last grid step masks the
+# padded remainder via per-step liveness (see `pair` in _kernel).
+TIME_CHUNK = 126
 
 _POL = C.branch_polarity_table()  # [4, 32] uint8
 
