@@ -44,9 +44,11 @@ def _load_calibration():
     try:
         with open(path) as f:
             cal = json.load(f)
-        return float(cal["kernels"]["avx512"]["symbols_per_s"])
+        k = cal["kernels"]
+        return (float(k["avx512"]["symbols_per_s"]),
+                float(k.get("rs", {}).get("codewords_per_s", 0)) or None)
     except Exception:
-        return None
+        return None, None
 
 
 def _timeit(fn, args, iters, warmup):
@@ -122,7 +124,7 @@ def main():
     symbols_per_call = batch * C.RATE * nsteps
     rate = symbols_per_call / dt
 
-    measured = _load_calibration()
+    measured, rs_baseline = _load_calibration()
     baseline = measured if measured else ESTIMATE_SYMBOLS_PER_S
     result = {
         "metric": "viterbi_decode_throughput",
@@ -155,6 +157,8 @@ def main():
         rs_fn = jax.jit(lambda b: rs_ops.rs_decode_blocks(b)[0][:128])
         rs_dt = _timeit(rs_fn, (blocks,), max(5, iters // 4), 5)
         result["rs_codewords_per_s"] = round(n_cw / rs_dt, 1)
+        if rs_baseline:
+            result["rs_vs_baseline"] = round(n_cw / rs_dt / rs_baseline, 3)
 
         # chained deconvolve -> RS superframe pipeline (config 3)
         n_sf = int(os.environ.get("BENCH_SUPERFRAMES", 512))

@@ -38,7 +38,12 @@ WINDOWS_H = """\
 #pragma once
 #include <cstdint>
 #include <cstdlib>
-#define __declspec(x)
+#define __vit_align(a) __attribute__((aligned(a)))
+#define __declspec(x) __vit_##x
+#define __forceinline inline
+#define UNREFERENCED_PARAMETER(x) (void)(x)
+#define min(a,b) (((a) < (b)) ? (a) : (b))
+#define max(a,b) (((a) > (b)) ? (a) : (b))
 typedef uint64_t DWORD64;
 typedef void* PVOID;
 typedef void* HANDLE;
@@ -68,6 +73,14 @@ HARNESS = """\
 #include <chrono>
 #include <immintrin.h>
 #include "vit_consts.h"
+
+struct RS_LookUp {                     // layout of viterbi.h:100-105
+    unsigned char RS_ato_mod[768];
+    unsigned char RS_iof[256];
+};
+RS_LookUp* rsLUT;                       // consumed by rschecksf.cpp
+extern const unsigned char VIT_RS_ATO_MOD[768], VIT_RS_IOF[256];
+int RScheckSuperframe(unsigned char*, int, unsigned, unsigned char*);
 
 extern "C" {
 int decon_sse2_lut32(unsigned, unsigned*, int, unsigned char*);
@@ -106,6 +119,10 @@ int main(int argc, char** argv) {
         {"ssse3", decon_ssse3}, {"avx2", decon_avx2}, {"avx512", decon_avx5},
     };
     unsigned char* out = (unsigned char*)malloc(nbytes);
+    rsLUT = new RS_LookUp;
+    memcpy(rsLUT->RS_ato_mod, VIT_RS_ATO_MOD, 768);
+    memcpy(rsLUT->RS_iof, VIT_RS_IOF, 256);
+
     printf("{");
     for (int k = 0; k < 3; k++) {
         // bit-exact validation vs the golden decoder on every fixture
@@ -125,6 +142,46 @@ int main(int argc, char** argv) {
         printf("%s\\"%s\\": {\\"symbols_per_s\\": %.0f, \\"mismatches\\": %ld,"
                " \\"frames\\": %d, \\"seconds\\": %.3f}",
                k ? ", " : "", kernels[k].name, sps, bad, nframes, dt);
+    }
+    // ---- RS path: fixtures from argv[4] ----
+    if (argc >= 7) {
+        FILE* rf = fopen(argv[4], "rb");
+        if (!rf) { perror("rs fixtures"); return 2; }
+        long rs_warm = atol(argv[5]), rs_timed = atol(argv[6]);
+        int32_t nsf, rs_dims;
+        if (fread(&nsf, 4, 1, rf) != 1 || fread(&rs_dims, 4, 1, rf) != 1)
+            return 2;
+        size_t in_b = 120ul * rs_dims, out_b = 110ul * rs_dims;
+        unsigned char* sf = (unsigned char*)malloc(nsf * in_b);
+        int32_t* want_err = (int32_t*)malloc(nsf * 4);
+        unsigned char* want_out = (unsigned char*)malloc(nsf * out_b);
+        for (int i = 0; i < nsf; i++) {
+            if (fread(sf + i * in_b, 1, in_b, rf) != in_b) return 2;
+            if (fread(want_err + i, 4, 1, rf) != 1) return 2;
+            if (fread(want_out + i * out_b, 1, out_b, rf) != out_b)
+                return 2;
+        }
+        fclose(rf);
+        unsigned char* rout = (unsigned char*)malloc(out_b);
+        long bad = 0;
+        for (int i = 0; i < nsf; i++) {
+            memset(rout, 0xAA, out_b);
+            int errs = RScheckSuperframe(sf + i * in_b, 0, rs_dims, rout);
+            if (errs != want_err[i]) { bad++; continue; }
+            if (errs != -1 && memcmp(rout, want_out + i * out_b, out_b))
+                bad++;
+        }
+        for (long i = 0; i < rs_warm; i++)
+            RScheckSuperframe(sf + (i % nsf) * in_b, 0, rs_dims, rout);
+        auto t0 = std::chrono::steady_clock::now();
+        for (long i = 0; i < rs_timed; i++)
+            RScheckSuperframe(sf + (i % nsf) * in_b, 0, rs_dims, rout);
+        double dt = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        printf(", \\"rs\\": {\\"codewords_per_s\\": %.0f,"
+               " \\"mismatches\\": %ld, \\"superframes\\": %d,"
+               " \\"rs_dims\\": %d, \\"seconds\\": %.3f}",
+               (double)rs_timed * rs_dims / dt, bad, nsf, rs_dims, dt);
     }
     printf("}\\n");
     return 0;
@@ -176,6 +233,11 @@ def gen_consts():
         f"extern const __m256i m256_XOR_2_6 = (__m256i)(v32){{{b(perm256(pol[2]))}}};",
         "}",
     ]
+    ato_mod, index_of = C.gf256_tables()
+    lines += [
+        f"extern const unsigned char VIT_RS_ATO_MOD[768] = {{{b(ato_mod)}}};",
+        f"extern const unsigned char VIT_RS_IOF[256] = {{{b(index_of)}}};",
+    ]
     return "\n".join(lines) + "\n"
 
 
@@ -196,12 +258,46 @@ def gen_fixtures(path, nframes, framebits):
             np.asarray(want, np.uint8).tofile(f)
 
 
+def gen_rs_fixtures(path, nsf, rs_dims):
+    import numpy as np
+    from viterbi_tpu import constants as C, golden
+
+    rng = np.random.default_rng(1)
+    with open(path, "wb") as f:
+        np.array([nsf, rs_dims], np.int32).tofile(f)
+        for i in range(nsf):
+            cws = np.stack([golden.rs_encode_codeword(
+                rng.integers(0, 256, C.RS_KK, dtype=np.int64))
+                for _ in range(rs_dims)]).astype(np.uint8)
+            # production-like mix: ~25% of codewords carry 1-3
+            # correctable byte errors; the last superframe holds one
+            # uncorrectable codeword (the -1 abort path)
+            for j in range(rs_dims):
+                if rng.random() < 0.25:
+                    pos = rng.choice(C.RS_N, rng.integers(1, 4),
+                                     replace=False)
+                    cws[j, pos] ^= rng.integers(1, 256, pos.size,
+                                                dtype=np.uint8)
+            if i == nsf - 1:
+                pos = rng.choice(C.RS_N, 8, replace=False)
+                cws[0, pos] ^= rng.integers(1, 256, 8, dtype=np.uint8)
+            p = np.ascontiguousarray(cws.T).reshape(-1)   # interleave
+            errs, out = golden.rs_check_superframe(p, rs_dims)
+            p.tofile(f)
+            np.array([errs], np.int32).tofile(f)
+            out.tofile(f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--framebits", type=int, default=3072)
     ap.add_argument("--warmup", type=int, default=5000)
     ap.add_argument("--timed", type=int, default=10000)
+    ap.add_argument("--rs-superframes", type=int, default=16)
+    ap.add_argument("--rs-dims", type=int, default=32)
+    ap.add_argument("--rs-warmup", type=int, default=2000)
+    ap.add_argument("--rs-timed", type=int, default=20000)
     args = ap.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
@@ -227,13 +323,18 @@ def main():
            "-mssse3", "-msse4.1", "-mavx", "-mavx2", "-mavx512f",
            "-mavx512bw", "-mavx512vl",
            "-I", WORK, "-I", REF, kern_cpp,
+           os.path.join(REF, "rschecksf.cpp"),
            os.path.join(WORK, "harness.cpp"), "-o", exe]
     subprocess.run(cmd, check=True)
 
     fixtures = os.path.join(WORK, "fixtures.bin")
     gen_fixtures(fixtures, args.frames, args.framebits)
+    rs_fixtures = os.path.join(WORK, "rs_fixtures.bin")
+    gen_rs_fixtures(rs_fixtures, args.rs_superframes, args.rs_dims)
 
-    out = subprocess.run([exe, fixtures, str(args.warmup), str(args.timed)],
+    out = subprocess.run([exe, fixtures, str(args.warmup), str(args.timed),
+                          rs_fixtures, str(args.rs_warmup),
+                          str(args.rs_timed)],
                          check=True, capture_output=True, text=True).stdout
     results = json.loads(out)
     import platform
@@ -252,10 +353,13 @@ def main():
         "kernels": results,
         "note": "reference C-intrinsics kernels (Rel_cpp config; the "
                 "avx512 one is the shipped production kernel in both "
-                "configs, deconvolve.cpp:530-531) compiled unmodified "
-                "from /root/reference, timed per viterbi-benchmark.cpp:"
-                "332-348 methodology; mismatches counts frames whose "
-                "decode differs from viterbi_tpu.golden (0 = bit-exact)",
+                "configs, deconvolve.cpp:530-531) and RScheckSuperframe "
+                "(rschecksf.cpp) compiled unmodified from "
+                "/root/reference, timed per viterbi-benchmark.cpp:"
+                "332-348 methodology; mismatches counts frames/"
+                "superframes whose decode differs from "
+                "viterbi_tpu.golden (0 = bit-exact). Shared-vCPU "
+                "run-to-run variance is ~+-10%.",
     }
     path = os.path.join(REPO, "CALIBRATION.json")
     with open(path, "w") as f:
