@@ -67,3 +67,34 @@ def test_frame_ring_multithreaded():
     ct.join(timeout=10)
     assert sorted(popped) == sorted(produced)
     ring.close()
+
+
+def test_pipelined_decode_matches_sequential():
+    """utils.pipeline keeps `depth` batches in flight and yields results
+    in order, equal to one-at-a-time decode."""
+    import jax
+    import numpy as np
+
+    from viterbi_tpu import constants as C, golden
+    from viterbi_tpu.ops import acs, traceback
+    from viterbi_tpu.utils import pipeline
+
+    framebits = 48
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(5):
+        bits = rng.integers(0, 2, (3, framebits), dtype=np.uint8)
+        syms = np.stack([golden.hard_to_soft(golden.encode(b))
+                         for b in bits]).astype(np.int32)
+        batches.append(syms)
+
+    @jax.jit
+    def decode(s):
+        decisions, _ = acs.forward(s, framebits + C.TAIL_BITS)
+        return traceback.chainback_scan(decisions, framebits)
+
+    want = [np.asarray(decode(b)) for b in batches]
+    got = list(pipeline.decode_pipelined(batches, decode, depth=3))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g == w).all()

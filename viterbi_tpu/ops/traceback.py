@@ -221,10 +221,10 @@ def _pick_kc(K: int, bt: int, budget: int = 3 * 2**20) -> int:
 
 
 @partial(jax.jit, static_argnames=("framebits", "ckpt", "b_tile",
-                                   "interpret"))
+                                   "interpret", "kc_budget"))
 def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
-                          b_tile: int = 512,
-                          interpret: bool = False) -> jax.Array:
+                          b_tile: int = 512, interpret: bool = False,
+                          kc_budget: int = 3 * 2**20) -> jax.Array:
     """Pallas twin of ``chainback_regs``: the sequential checkpoint walk
     runs in a kernel (fori_loop over checkpoints, one-hot sublane gather
     per step), eliminating the XLA scan's per-step dispatch overhead —
@@ -240,7 +240,7 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     if Bp != B:
         regs = jnp.pad(regs, ((0, 0), (0, 0), (0, Bp - B)))
     nbt = Bp // bt
-    kc = _pick_kc(K, bt)
+    kc = _pick_kc(K, bt, kc_budget)
     kb = K // kc
     kernel = partial(_tb_kernel, kc, K, ckpt, gap)
     rs = pl.pallas_call(
