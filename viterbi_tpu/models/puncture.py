@@ -31,6 +31,15 @@ Depuncturing inserts a neutral soft value (127, the closest integer to
 the 127.5 offset-binary midpoint) at punctured positions, giving equal
 branch-metric contribution to both bit polarities up to the reference's
 pavgb rounding.
+
+UEP (classic DAB audio, EN 300 401 table 31) is structurally a
+four-segment ``Profile``: construct
+``Profile("UEP ...", ((L1, PI1), (L2, PI2), (L3, PI3), (L4, PI4)))``
+with a row from the standard's table. The 64-row UEP table itself is
+not vendored here (no offline source to pin it against — the EEP tables
+below are pinned by exact rate arithmetic, which UEP rows don't admit);
+everything downstream (mask/puncture/depuncture/decode) is
+segment-count-agnostic.
 """
 
 from __future__ import annotations
