@@ -192,18 +192,26 @@ def _tb_kernel(kc, K, ckpt, gap, reg_ref, rs_ref, state):
     def _():
         state[:] = jnp.zeros_like(state)   # terminal state is 0
 
-    srow = jax.lax.broadcasted_iota(jnp.int32, (C.NUM_STATES, bt), 0)
-
     # kc is static: unroll fully (static slices, state carried in vector
     # registers) — a fori_loop body with dynamic slices measured ~2.5us
     # per step, ~60x the ALU cost.
+    def select_state(reg, st):
+        # binary-tournament row select: 6 halving rounds of where()
+        # (~63 row-ops) instead of a one-hot mask + 64-row reduction
+        # (~5x the lane work; the walk is compute-bound, not DMA-bound)
+        r = reg
+        for bit in range(5, -1, -1):
+            half = r.shape[0] // 2
+            take_hi = ((st >> bit) & 1) != 0            # [1, bt]
+            r = jnp.where(take_hi, r[half:], r[:half])
+        return r                                        # [1, bt]
+
     st = state[0:1]
     out_rows = [None] * kc
     for m in range(kc):
         kl = kc - 1 - m                     # local row, newest first
         k = (K - 1) - (j * kc + m)          # global checkpoint index
-        reg = reg_ref[kl]                   # [64, bt]
-        r = jnp.sum(jnp.where(srow == st, reg, 0), axis=0, keepdims=True)
+        r = select_state(reg_ref[kl], st)   # [1, bt]
         out_rows[kl] = r
         shift = jnp.where(k == K - 1, gap, ckpt)
         st = (r >> shift) & 63
