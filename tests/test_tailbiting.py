@@ -50,3 +50,29 @@ def test_jax_matches_golden():
     out = tailbiting.decode_tailbiting(jnp.asarray(syms), framebits,
                                        wrap_steps=wrap)
     assert (np.asarray(out) == np.stack(want)).all()
+
+
+def test_pallas_matches_xla():
+    """Register-exchange tail-biting path (interpret mode) is bit-exact
+    vs the XLA path and golden."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import tailbiting
+
+    framebits, wrap = 192, 48
+    rng = np.random.default_rng(5)
+    B = 4
+    syms = np.empty((B, 4 * framebits), np.int32)
+    want = []
+    for i in range(B):
+        bits = rng.integers(0, 2, framebits).astype(np.uint8)
+        soft = golden.hard_to_soft(
+            golden.encode_tailbiting(bits)).astype(np.int32)
+        flips = rng.choice(soft.size, 30, replace=False)
+        soft[flips] = rng.integers(0, 256, 30)
+        syms[i] = soft
+        want.append(golden.tailbiting_decode(framebits, soft,
+                                             wrap_steps=wrap))
+    out = tailbiting.decode_tailbiting(jnp.asarray(syms), framebits,
+                                       wrap_steps=wrap, use_pallas=True,
+                                       interpret=True)
+    assert (np.asarray(out) == np.stack(want)).all()

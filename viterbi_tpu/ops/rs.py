@@ -7,12 +7,15 @@ data-dependent branch/early-exit of Berlekamp-Massey, Chien and Forney
 becomes masked full-length execution (SURVEY.md §7.3) — results are
 bit-identical to the scalar oracle.
 
-GF(256) arithmetic uses the reference's log/antilog scheme with the
-768-entry pre-reduced antilog table (dllmain.cpp:124-150) so all index
-sums (max 763) gather directly. Syndromes are computed in closed form
-(polynomial evaluation with a precomputed Vandermonde-style log table)
-rather than Horner recurrence — GF arithmetic is exact, so the result is
-identical while exposing the 120-wide reduction to the VPU.
+GF(256) arithmetic is fully gather-free at runtime: per-element
+log/antilog table lookups (the reference's 768-entry pre-reduced
+antilog scheme, dllmain.cpp:124-150 — an x86 LUT optimization) measure
+~34x slower than carryless-multiply chains on TPU (scripts/krs.py), so
+products use bitwise ``gf_mul``, inverses the Fermat ``gf_inv`` (x^254),
+and alpha-powers square-and-multiply over constant alpha^(2^k). The
+tables survive only as host-side data for building the MXU bit-matmul
+matrices (syndromes/Chien). GF arithmetic is exact, so every result is
+bit-identical to the reference's log-form computation.
 """
 
 from __future__ import annotations
@@ -105,7 +108,9 @@ def gf_mul(a: jax.Array, b: jax.Array) -> jax.Array:
 
     Carryless polynomial multiply (8 conditional-XOR rounds) followed by
     reduction mod the field polynomial 0x11D. ~45 elementwise VPU ops —
-    far cheaper on TPU than a log/antilog table gather per element.
+    far cheaper on TPU than a log/antilog table gather per element
+    (measured: a [B,10] table gather costs ~34x a [B,10] gf_mul,
+    scripts/krs.py).
     """
     acc = jnp.zeros_like(a)
     for k in range(8):
@@ -113,6 +118,44 @@ def gf_mul(a: jax.Array, b: jax.Array) -> jax.Array:
     for k in range(14, 7, -1):
         acc = acc ^ jnp.where((acc >> k) & 1 != 0,
                               jnp.int32(C.RS_GFPOLY << (k - 8)), 0)
+    return acc
+
+
+def _gf_mul_const(a: jax.Array, b: int) -> jax.Array:
+    """gf_mul with a compile-time scalar: the conditional-XOR rounds fold
+    to popcount(b) shift-xors."""
+    acc = jnp.zeros_like(a)
+    for k in range(8):
+        if (b >> k) & 1:
+            acc = acc ^ (a << k)
+    for k in range(14, 7, -1):
+        acc = acc ^ jnp.where((acc >> k) & 1 != 0,
+                              jnp.int32(C.RS_GFPOLY << (k - 8)), 0)
+    return acc
+
+
+def gf_inv(x: jax.Array) -> jax.Array:
+    """Fermat inverse x^254 (gf_inv(0) == 0), 13 gf_muls, gather-free."""
+    sq = gf_mul(x, x)                     # x^2
+    acc = sq
+    p = sq
+    for _ in range(6):
+        p = gf_mul(p, p)                  # x^4 .. x^128
+        acc = gf_mul(acc, p)
+    return acc
+
+
+# alpha^(2^k) scalar constants for square-and-multiply exponentiation
+_A2K = [int(_ATO_NP[(1 << k) % 255]) for k in range(8)]
+
+
+def gf_pow_alpha(e: jax.Array) -> jax.Array:
+    """alpha^e for integer exponents e in [0, 255], gather-free
+    square-and-multiply over the constant powers alpha^(2^k)."""
+    acc = jnp.ones_like(e)
+    for k in range(8):
+        acc = jnp.where((e >> k) & 1 != 0, _gf_mul_const(acc, _A2K[k]),
+                        acc)
     return acc
 
 
@@ -130,7 +173,6 @@ def rs_decode_blocks(blocks: jax.Array):
         count == -1 or 0), values in [0, 255].
     Bit-exact vs golden.rs_decode_codeword for every codeword.
     """
-    ato, iof = _tables()
     data = blocks.astype(jnp.int32)
     B = data.shape[0]
     NR = C.RS_NROOTS
@@ -165,8 +207,9 @@ def rs_decode_blocks(blocks: jax.Array):
         t = lam ^ gf_mul(discr[:, None], shift_b)
 
         upd = (2 * el <= r - 1) & ~zero_d                    # register swap
-        # b(x) <- lambda(x) / discr (scalar inverse: two tiny gathers)
-        inv_d = ato[C.RS_NN - iof[jnp.maximum(discr, 1)]]    # [B]
+        # b(x) <- lambda(x) / discr (Fermat inverse — gathers are ~34x
+        # slower than gf_mul chains on TPU, scripts/krs.py)
+        inv_d = gf_inv(discr)                                # [B]
         b_swap = gf_mul(lam, inv_d[:, None])
         new_b = jnp.where(zero_d[:, None], shift_b,
                           jnp.where(upd[:, None], b_swap, shift_b))
@@ -205,7 +248,7 @@ def rs_decode_blocks(blocks: jax.Array):
     # ---- Forney error values at each root --------------------------------
     # powers pw[b, slot, k] = alpha^(k * root) built by iterated gf_mul
     safe_root = jnp.where(root_ok, roots, 0)
-    alpha_r = ato[safe_root]                                 # [B, 10]
+    alpha_r = gf_pow_alpha(safe_root)                        # [B, 10]
     pw_list = [jnp.ones_like(alpha_r)]
     for _ in range(NR - 1):
         pw_list.append(gf_mul(pw_list[-1], alpha_r))
@@ -217,7 +260,7 @@ def rs_decode_blocks(blocks: jax.Array):
     n1_valid = k[None, None, :] <= deg_omega[:, None, None]
     num1 = _xor_reduce(jnp.where(n1_valid, n1_term, 0), axis=2)  # [B, 10r]
 
-    num2 = ato[C.RS_NN - safe_root]                          # [B, 10]
+    num2 = gf_pow_alpha(C.RS_NN - safe_root)                 # [B, 10]
 
     keven = np.arange(0, NR, 2, dtype=np.int32)              # [5]
     top = jnp.minimum(deg_lambda, NR - 1) & ~1               # [B]
@@ -225,8 +268,10 @@ def rs_decode_blocks(blocks: jax.Array):
     d_valid = keven[None, None, :] <= top[:, None, None]
     den = _xor_reduce(jnp.where(d_valid, d_term, 0), axis=2)  # [B, 10]
 
-    tmp = iof[num1] + iof[num2] + (C.RS_NN - iof[den])
-    errval = ato[tmp]                                        # [B, 10]
+    # errval = num1 * num2 / den in GF(256); den != 0 wherever applied
+    # (simple roots), num1 == 0 is masked below — identical to the
+    # reference's log-form ato[iof[num1]+iof[num2]+255-iof[den]]
+    errval = gf_mul(gf_mul(num1, num2), gf_inv(den))         # [B, 10]
 
     pos = roots - 1 - C.RS_PAD                               # [B, 10]
     apply = root_ok & (roots >= C.RS_PAD + 1) & (num1 != 0) & \

@@ -152,7 +152,7 @@ def _regs_bits(rs: jax.Array, framebits: int, ckpt: int,
 
 
 def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
-                gap: int) -> jax.Array:
+                gap: int, tail: int = C.TAIL_BITS) -> jax.Array:
     """Byte-granular assembly from survivor-register windows.
 
     Each checkpoint register holds the last 32 survivor input bits, i.e.
@@ -165,7 +165,7 @@ def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
     import numpy as np
     assert ckpt <= 24
     K, B = rs.shape
-    nsteps = framebits + C.TAIL_BITS
+    nsteps = framebits + tail
     nbytes = framebits // 8
     i = np.arange(nbytes)
     tend = 8 * i + 7                       # time of the byte's last bit
@@ -178,9 +178,11 @@ def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
     return bytes_tm.T.astype(jnp.uint8)
 
 
-def _tb_kernel(kc, K, ckpt, gap, reg_ref, rs_ref, state):
+def _tb_kernel(kc, K, ckpt, gap, anchor_ref, reg_ref, rs_ref, state):
     """Checkpoint-walk grid step: ``kc`` checkpoints, newest first.
 
+    anchor_ref: [1, bt] int32 anchor state per frame (0 for the
+    terminated trellis; best end state for tail-biting);
     reg_ref: [kc, 64, bt] int32 checkpoint registers (reverse-ordered
     blocks); rs_ref: [kc, bt] gathered survivor registers (out); state:
     [8, bt] int32 VMEM scratch, row 0 = current trellis state per frame.
@@ -190,7 +192,7 @@ def _tb_kernel(kc, K, ckpt, gap, reg_ref, rs_ref, state):
 
     @pl.when(j == 0)
     def _():
-        state[:] = jnp.zeros_like(state)   # terminal state is 0
+        state[:] = jnp.broadcast_to(anchor_ref[0:1], state.shape)
 
     # kc is static: unroll fully (static slices, state carried in vector
     # registers) — a fori_loop body with dynamic slices measured ~2.5us
@@ -229,22 +231,33 @@ def _pick_kc(K: int, bt: int, budget: int = 3 * 2**20) -> int:
 
 
 @partial(jax.jit, static_argnames=("framebits", "ckpt", "b_tile",
-                                   "interpret", "kc_budget"))
+                                   "interpret", "kc_budget", "tail"))
 def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
                           b_tile: int = 512, interpret: bool = False,
-                          kc_budget: int = 3 * 2**20) -> jax.Array:
+                          kc_budget: int = 3 * 2**20,
+                          tail: int = C.TAIL_BITS,
+                          anchor: jax.Array | None = None) -> jax.Array:
     """Pallas twin of ``chainback_regs``: the sequential checkpoint walk
-    runs in a kernel (fori_loop over checkpoints, one-hot sublane gather
-    per step), eliminating the XLA scan's per-step dispatch overhead —
-    measured >5x faster end-to-end on one chip. Bit-exact vs
-    ``chainback_regs``."""
-    nsteps = framebits + C.TAIL_BITS
+    runs in a kernel (fori_loop over checkpoints, binary-tournament
+    state select per step), eliminating the XLA scan's per-step dispatch
+    overhead — measured >5x faster end-to-end on one chip. Bit-exact vs
+    ``chainback_regs``.
+
+    ``tail``/``anchor`` generalize to tail-biting: ``tail=0`` decodes a
+    trellis of exactly ``framebits`` steps, anchored at ``anchor``
+    (int32[B] best end states) instead of the terminated state 0."""
+    nsteps = framebits + tail
     K, _, B = regs.shape
     assert K == -(-nsteps // ckpt)
     gap = nsteps - (K - 1) * ckpt
 
     bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
     Bp = ((B + bt - 1) // bt) * bt
+    if anchor is None:
+        anc = jnp.zeros((1, Bp), jnp.int32)
+    else:
+        anc = jnp.pad(anchor.astype(jnp.int32)[None, :],
+                      ((0, 0), (0, Bp - B)))
     if Bp != B:
         regs = jnp.pad(regs, ((0, 0), (0, 0), (0, Bp - B)))
     nbt = Bp // bt
@@ -254,7 +267,9 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     rs = pl.pallas_call(
         kernel,
         grid=(nbt, kb),
-        in_specs=[pl.BlockSpec((kc, 64, bt),
+        in_specs=[pl.BlockSpec((1, bt), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((kc, 64, bt),
                                lambda i, j, _kb=kb: (_kb - 1 - j, 0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, kc, bt),
@@ -263,10 +278,10 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
         out_shape=jax.ShapeDtypeStruct((kb, kc, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((8, bt), jnp.int32)],
         interpret=interpret,
-    )(regs)
+    )(anc, regs)
     rs = rs.reshape(K, Bp)
     if ckpt <= 24:
-        return _regs_bytes(rs[:, :B], framebits, ckpt, gap)
+        return _regs_bytes(rs[:, :B], framebits, ckpt, gap, tail=tail)
     return _regs_bits(rs[:, :B], framebits, ckpt, gap)
 
 
