@@ -1,8 +1,14 @@
 """Benchmark: batched DAB decode throughput on one chip.
 
-Prints ONE JSON line:
+Prints the result as a JSON line:
   {"metric": "viterbi_decode_throughput", "value": N,
    "unit": "Msymbols/s/chip", "vs_baseline": R, ...}
+
+The headline Viterbi metric is printed as soon as it is measured, then
+re-printed with the extra RS/superframe rates folded in once those
+finish — the LAST complete JSON line on stdout is always the most
+complete valid result, even if the extra benches fail or an outer
+timeout kills the process midway.
 
 Methodology mirrors the reference benchmark (viterbi-benchmark.cpp:
 332-348): warm-up calls, then timed steady-state calls at the 128 kbit/s
@@ -137,7 +143,14 @@ def main():
                             if measured else "instruction-count estimate"),
     }
 
-    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+    # Emit the headline metric immediately: if the extra benches below
+    # are killed by an outer timeout or fail, the last complete JSON
+    # line on stdout is still a valid result.
+    print(json.dumps(result), flush=True)
+
+    try:
+        if os.environ.get("BENCH_SKIP_EXTRA") == "1":
+            return
         from viterbi_tpu.ops import rs as rs_ops
         from viterbi_tpu import golden
         from viterbi_tpu.models import dab
@@ -168,7 +181,10 @@ def main():
             s, framebits // 24, use_pallas=use_pallas)[1][:128])
         sf_dt = _timeit(sf_fn, (sf_syms,), max(5, iters // 8), 3)
         result["superframes_per_s"] = round(n_sf / sf_dt, 1)
-
+    except Exception as e:  # headline metric already printed above
+        import sys
+        print(f"extra benches failed: {e!r}", file=sys.stderr)
+        return
     print(json.dumps(result))
 
 
