@@ -160,18 +160,44 @@ def main():
         # correctable errors
         n_cw = int(os.environ.get("BENCH_RS_CODEWORDS", 65536))
         msgs = rng.integers(0, 256, (256, C.RS_KK), dtype=np.int32)
-        cws = np.stack([golden.rs_encode_codeword(m) for m in msgs])
-        cws = np.tile(cws, (n_cw // 256, 1)).astype(np.int32)
-        errpos = rng.integers(0, C.RS_N, n_cw)
-        errval = rng.integers(1, 256, n_cw)
-        corrupt = rng.random(n_cw) < 0.25
-        cws[np.arange(n_cw)[corrupt], errpos[corrupt]] ^= errval[corrupt]
-        blocks = jnp.asarray(cws, jnp.int32)
+        clean = np.stack([golden.rs_encode_codeword(m) for m in msgs])
+        clean = np.tile(clean, (n_cw // 256, 1)).astype(np.int32)
+
+        def corrupt_mix(base, frac, max_errs, uncorrectable=0):
+            """frac of codewords get 1..max_errs byte errors; the first
+            `uncorrectable` codewords get 9 errors (> t=5, forces the
+            -1 path)."""
+            cws = base.copy()
+            hit = rng.random(len(cws)) < frac
+            for i in np.flatnonzero(hit):
+                e = rng.integers(1, max_errs + 1)
+                pos = rng.choice(C.RS_N, e, replace=False)
+                cws[i, pos] ^= rng.integers(1, 256, e)
+            for i in range(uncorrectable):
+                pos = rng.choice(C.RS_N, 9, replace=False)
+                cws[i, pos] ^= rng.integers(1, 256, 9)
+            return jnp.asarray(cws, jnp.int32)
+
         rs_fn = jax.jit(lambda b: rs_ops.rs_decode_blocks(b)[0][:128])
-        rs_dt = _timeit(rs_fn, (blocks,), max(5, iters // 4), 5)
+        rs_iters = max(5, iters // 4)
+        # clean-dominated mix (the reference's cheap case by design;
+        # our masked fixed-length kernel must hold the rate regardless)
+        rs_dt = _timeit(rs_fn, (corrupt_mix(clean, 0.25, 1),),
+                        rs_iters, 5)
         result["rs_codewords_per_s"] = round(n_cw / rs_dt, 1)
         if rs_baseline:
             result["rs_vs_baseline"] = round(n_cw / rs_dt / rs_baseline, 3)
+        # adversarial batches: Forney-heavy (every codeword dirty, up
+        # to t=5 errors) and a batch containing uncorrectable words —
+        # the latency outliers a DAB receiver cares about
+        rs_dt_dirty = _timeit(rs_fn, (corrupt_mix(clean, 1.0, 5),),
+                              rs_iters, 5)
+        result["rs_codewords_per_s_dirty"] = round(n_cw / rs_dt_dirty, 1)
+        rs_dt_abort = _timeit(
+            rs_fn, (corrupt_mix(clean, 0.25, 5, uncorrectable=64),),
+            rs_iters, 5)
+        result["rs_codewords_per_s_with_uncorrectable"] = round(
+            n_cw / rs_dt_abort, 1)
 
         # chained deconvolve -> RS superframe pipeline (config 3)
         n_sf = int(os.environ.get("BENCH_SUPERFRAMES", 512))
@@ -184,6 +210,9 @@ def main():
     except Exception as e:  # headline metric already printed above
         import sys
         print(f"extra benches failed: {e!r}", file=sys.stderr)
+        # re-print whatever was measured before the failure: `result`
+        # is always a valid, partially-enriched record
+        print(json.dumps(result), flush=True)
         return
     print(json.dumps(result))
 

@@ -53,9 +53,11 @@ def test_rs_superframe_api_matches_golden():
     rs_dims = 6
     msgs, cws = _random_codewords(rng, rs_dims, [0, 2, 0, 5, 1, 0])
     interleaved = cws.T.reshape(-1).astype(np.uint8)
-    errors, out = rs.rs_check_superframe(jnp.asarray(interleaved), rs_dims)
+    errors, out, n_ok = rs.rs_check_superframe(jnp.asarray(interleaved),
+                                               rs_dims)
     g_errors, g_out = golden.rs_check_superframe(interleaved, rs_dims)
     assert int(errors) == g_errors == 8
+    assert int(n_ok) == rs_dims
     assert np.array_equal(np.asarray(out), g_out)
     out2 = np.asarray(out).reshape(C.RS_KK, rs_dims).T
     assert np.array_equal(out2, msgs)
@@ -68,9 +70,58 @@ def test_rs_superframe_uncorrectable_aborts():
     rs_dims = 4
     msgs, cws = _random_codewords(rng, rs_dims, [1, 9, 0, 2])
     interleaved = cws.T.reshape(-1).astype(np.uint8)
-    errors, out = rs.rs_check_superframe(jnp.asarray(interleaved), rs_dims)
+    errors, out, n_ok = rs.rs_check_superframe(jnp.asarray(interleaved),
+                                               rs_dims)
     assert int(errors) == -1
+    assert int(n_ok) == 1  # only codeword 0 decoded before the failure
     out2 = np.asarray(out).reshape(C.RS_KK, rs_dims).T
     # codeword 0 decoded before the failure; 1.. zeroed
     assert np.array_equal(out2[0], msgs[0])
     assert not out2[1].any() and not out2[2].any() and not out2[3].any()
+
+
+def test_rs_api_partial_prefix_on_failure():
+    """On -1 the API writes the corrected prefix into out_vector and
+    leaves the failed/later codewords' bytes untouched — the reference
+    scatters before aborting (rschecksf.cpp:74-88)."""
+    import viterbi_tpu
+
+    rng = np.random.default_rng(11)
+    rs_dims = 5
+    msgs, cws = _random_codewords(rng, rs_dims, [2, 0, 9, 1, 0])
+    interleaved = cws.T.reshape(-1).astype(np.uint8)
+    out_vector = np.full(rs_dims * C.RS_KK, 0xEE, dtype=np.uint8)
+    ret = viterbi_tpu.rs_check_superframe(interleaved, 0, rs_dims,
+                                          out_vector)
+    assert ret == -1
+    view = out_vector.reshape(C.RS_KK, rs_dims).T
+    # codewords 0 and 1 decoded before the failure at codeword 2
+    assert np.array_equal(view[0], msgs[0])
+    assert np.array_equal(view[1], msgs[1])
+    # failed codeword and everything after: bytes untouched
+    assert (view[2] == 0xEE).all() and (view[3] == 0xEE).all() \
+        and (view[4] == 0xEE).all()
+
+
+def test_deconvolve_validates_byte_granularity_without_latching():
+    """framebits not a multiple of 8 is a caller typo: error return, no
+    safe-mode latch, and a healthy caller keeps working (VERDICT r2
+    weak #6 regression)."""
+    import viterbi_tpu
+    from viterbi_tpu import golden
+    from viterbi_tpu.runtime import dispatch
+
+    framebits = 96
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, framebits, dtype=np.uint8)
+    syms = golden.hard_to_soft(golden.encode(bits))
+    # framebits 50 passes %2 but not %8 — previously latched safe mode
+    long_syms = np.zeros(4 * (50 + 6), dtype=np.int32)
+    assert viterbi_tpu.deconvolve(50, long_syms) == 1
+    assert not dispatch.state().safe_mode
+    # short output buffer: benign validation error, no latch
+    short_out = np.zeros(framebits // 8 - 1, dtype=np.uint8)
+    assert viterbi_tpu.deconvolve(framebits, syms, 0, short_out) == 1
+    assert not dispatch.state().safe_mode
+    # healthy caller unaffected
+    assert viterbi_tpu.deconvolve(framebits, syms) == 0

@@ -125,11 +125,17 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
         # (fault-injection test b, viterbi-benchmark.cpp:444-481)
         raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
-    if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
+    # framebits must be byte-granular: the output contract is MSB-first
+    # packed bytes (chainback.inc:18-41 writes output[t>>3]).  Rejecting
+    # here keeps a caller typo a ValidationError instead of a reshape
+    # failure deep in the kernel that would latch safe mode for everyone.
+    if (framebits <= 0 or framebits % 8 or framebits > C.MAX_FRAMEBITS):
         raise faults.ValidationError(f"bad framebits {framebits}")
     syms = np.asarray(symbols).reshape(-1)
     if syms.size < C.RATE * (framebits + C.TAIL_BITS):
         raise faults.ValidationError("symbol buffer too short")
+    if output is not None and getattr(output, "size", 0) < framebits // 8:
+        raise faults.ValidationError("output buffer too short")
     with calllog.record("deco", framebits=framebits) as rec:
         rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)])
         out = _decode_batch(syms[None, :], framebits)[0]
@@ -145,7 +151,7 @@ def deconvolve_batch(framebits: int, symbols_batch) -> tuple[int, np.ndarray]:
     if symbols_batch is None:
         raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
-    if framebits <= 0 or framebits % 2 or framebits > C.MAX_FRAMEBITS:
+    if framebits <= 0 or framebits % 8 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
     syms = np.asarray(symbols_batch)
     if syms.ndim != 2 or syms.shape[1] < C.RATE * (framebits + C.TAIL_BITS):
@@ -164,6 +170,12 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
     rs_dims*110 data bytes are written to ``out_vector`` if given (and
     exposed per-thread via ``last_rs_output()``). ``start_ix`` is
     accepted and ignored, as in the reference (rschecksf.cpp:69).
+
+    On -1 (uncorrectable codeword) the reference has already scattered
+    every corrected codeword *before* the failed one into the caller's
+    buffer (rschecksf.cpp:74-88); bytes belonging to the failed and
+    later codewords stay untouched. The same partial write happens
+    here.
     """
     import jax.numpy as jnp
 
@@ -178,13 +190,25 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
     buf = np.asarray(p).reshape(-1)
     if buf.size < rs_dims * C.RS_N:
         raise faults.ValidationError("superframe buffer too short")
+    if out_vector is not None and \
+            getattr(out_vector, "size", 0) < rs_dims * C.RS_KK:
+        raise faults.ValidationError("output buffer too short")
     with calllog.record("rscs", rs_dims=rs_dims) as rec:
         rec.capture_symbols(buf[: rs_dims * C.RS_N])
-        errors, out = rs_ops.rs_check_superframe(
+        errors, out, n_ok = rs_ops.rs_check_superframe(
             jnp.asarray(buf[: rs_dims * C.RS_N], dtype=jnp.int32), rs_dims)
     errors = int(errors)
     out = np.asarray(out)
-    if out_vector is not None and errors != -1:
-        out_vector[: out.size] = out
+    if out_vector is not None:
+        if errors != -1:
+            out_vector[: out.size] = out
+        else:
+            # partial write: corrected prefix only, interleaved stride —
+            # byte k of codeword j lives at out[j + k*rs_dims]
+            n_ok = int(n_ok)
+            if n_ok:
+                dst = out_vector[: rs_dims * C.RS_KK].reshape(
+                    C.RS_KK, rs_dims)
+                dst[:, :n_ok] = out.reshape(C.RS_KK, rs_dims)[:, :n_ok]
     _tls.rs_out = out
     return errors

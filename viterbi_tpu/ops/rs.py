@@ -301,12 +301,15 @@ def interleave_data(blocks: jax.Array, rs_dims: int) -> jax.Array:
 def rs_check_superframe(p: jax.Array, rs_dims: int):
     """Batched twin of RScheckSuperframe (rschecksf.cpp:64-93).
 
-    ``p``: uint8[rs_dims * 120]. Returns (errors, out):
+    ``p``: uint8[rs_dims * 120]. Returns (errors, out, n_ok):
       * errors int32: total corrected bytes, or -1 if any codeword is
         uncorrectable (reference aborts at the *first* such codeword)
       * out uint8[rs_dims * 110]: corrected data. On -1 the reference
-        leaves output beyond the failed codeword unwritten; here
-        codewords from the first failure onward are zero-filled.
+        scatters each corrected codeword *before* the failed one into
+        the caller's buffer (rschecksf.cpp:74-88), so the prefix
+        survives; here codewords from the first failure onward are
+        zero-filled in ``out`` and ``n_ok`` tells the caller how many
+        leading codewords are valid (= rs_dims when errors != -1).
     """
     blocks = deinterleave(p.astype(jnp.int32), rs_dims)
     count, corrected = rs_decode_blocks(blocks)
@@ -314,10 +317,10 @@ def rs_check_superframe(p: jax.Array, rs_dims: int):
     any_failed = jnp.any(failed)
     first_fail = jnp.argmax(failed)  # 0 if none, but gated by any_failed
     errors = jnp.where(any_failed, -1, jnp.sum(count))
+    n_ok = jnp.where(any_failed, first_fail, rs_dims).astype(jnp.int32)
     # zero out output for codewords at/after the first failure
     cw_idx = jnp.arange(rs_dims, dtype=jnp.int32)
-    writable = jnp.where(any_failed, cw_idx < first_fail,
-                         jnp.ones_like(cw_idx, dtype=bool))
-    out_blocks = jnp.where(writable[:, None], corrected[:, :C.RS_KK], 0)
+    out_blocks = jnp.where((cw_idx < n_ok)[:, None],
+                           corrected[:, :C.RS_KK], 0)
     out = interleave_data(out_blocks, rs_dims).astype(jnp.uint8)
-    return errors.astype(jnp.int32), out
+    return errors.astype(jnp.int32), out, n_ok
