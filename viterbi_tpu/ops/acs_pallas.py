@@ -471,6 +471,134 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     met_ref[:] = mfin
 
 
+def _kernel_regs_x6(time_chunk: int, ckpt: int, mdt, packed, xch_mode,
+                    sym_ref, init_ref, reg_ref, met_ref, metrics, regs):
+    """Exchange-form 6-phase constant-geometry ACS (no ordering resets).
+
+    The 3-phase CG kernel must restore natural row order every 3 steps
+    with an [8, 8] cross-tile sublane transpose (2 arrays x 2 resets per
+    6-step window — measured ~24% of the kernel). Here the rotl-1-per-
+    step row ordering is simply allowed to run its full 6-step cycle
+    (rotl6 = identity), so natural order restores *itself* at window
+    boundaries and checkpoints still land in natural order. The price:
+    phases 3/4/5 pair rows at sub-tile strides 4/2/1, handled with a
+    butterfly exchange instead of split/merge.
+
+    Exchange formulation: with per-row branch metrics F (value m of the
+    row's butterfly pair, via one-hot MXU expansion) and Fc = 63 - F,
+
+        P  = sat(M + F)            # lo rows: a+m   hi rows: b+m
+        Q  = sat(M + Fc)           # lo rows: a+cm  hi rows: b+cm
+        newM = min(P, xch(Q))      # = butterfly min at every row
+        take = (xch(Q) + is_hi) <= P   # ties: lo takes hi-pred (ref
+                                       # cmpeq semantics), hi keeps self
+        newR = where(take, xch(R), R) | (is_hi << pos)
+
+    which is bit-identical to the reference ACS (deconvolve.cpp:243-254)
+    at every row. xch at strides 32/16/8 is vreg renaming; at 4/2/1 it
+    is an intra-tile sublane shuffle (xch_mode picks stack vs roll
+    lowering). Numerics, checkpoint layout, and renorm cadence identical
+    to _kernel_regs_cg_mxu.
+    """
+    B = metrics.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        metrics[:] = init_ref[:]
+        regs[:] = jnp.zeros_like(regs)
+
+    c255 = jnp.asarray(255, mdt)
+    c63 = jnp.asarray(63, mdt)
+    zero = jnp.asarray(0, mdt)
+
+    # branch-metric patterns: row r of the [8, B] tile is pattern
+    # (p0, p1, p2); x_q = 255 if p_q else 0 (g3 == g0)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    xm8 = [(((prow >> (2 - min(q, 2))) & 1) * 255) for q in range(3)]
+    xm8.append(xm8[0])
+
+    def rotl(x, n):
+        n = n % 6
+        return ((x << n) | (x >> (6 - n))) & 63
+
+    def pat_of(j):
+        p = (jax.lax.population_count((j << 1) & int(C.POLYS[0])) & 1) << 2
+        p = p | ((jax.lax.population_count((j << 1) & int(C.POLYS[1]))
+                  & 1) << 1)
+        return p | (jax.lax.population_count((j << 1) & int(C.POLYS[2])) & 1)
+
+    def expand_matrix(phase):
+        # E[64, 8]: row p one-hot at pat(j) where j = pair index of the
+        # state held at row p at this phase (state = rotl_phase(p))
+        r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 8), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (64, 8), 1)
+        j = rotl(r64, phase) & 31
+        return (c == pat_of(j)).astype(jnp.bfloat16)
+
+    Es = [expand_matrix(p) for p in range(6)]
+
+    p64 = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+    # is_hi / register-bit masks per phase ([64, 1] broadcasts)
+    his = [(p64 >> ((5 - p) % 6)) & 1 for p in range(6)]
+    hi_m = [h.astype(mdt) for h in his]                  # for take cmp
+    hi_bit = [h << (5 - p) for p, h in enumerate(his)]   # register bit
+
+    def xch(A, phase):
+        s = 1 << ((5 - phase) % 6)
+        if xch_mode == "roll" and s < 8:
+            lo = (p64 >> ((5 - phase) % 6)) & 1
+            # roll(64 - s) == roll(-s): element p+s lands at row p
+            return jnp.where(lo == 0, pltpu.roll(A, 64 - s, axis=0),
+                             pltpu.roll(A, s, axis=0))
+        G = 64 // (2 * s)
+        Ar = A.reshape(G, 2, s, B)
+        return jnp.stack([Ar[:, 1], Ar[:, 0]], axis=1).reshape(64, B)
+
+    def one_step(t, phase, mv, rv):
+        if packed:
+            srow = sym_ref[pl.ds(t, 1)][0]                  # [1, B] i32
+            sq = [(srow >> (8 * q)) & 255 for q in range(4)]
+        else:
+            s4 = sym_ref[pl.ds(t, 1)][0]
+            sq = [s4[q][None, :] & 0xFF for q in range(4)]
+        a = [jnp.broadcast_to(sq[q], (8, B)) ^ xm8[q] for q in range(4)]
+        avg = lambda x, y: (x + y + 1) >> 1
+        m8 = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2).astype(
+            jnp.bfloat16)
+        F = jax.lax.dot_general(
+            Es[phase], m8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(mdt)
+        P = jnp.minimum(mv + F, c255)
+        Q = jnp.minimum(mv + (c63 - F), c255)
+        XQ = xch(Q, phase)
+        newM = jnp.minimum(P, XQ)
+        take = (XQ + hi_m[phase]) <= P
+        newR = jnp.where(take, xch(rv, phase), rv) | hi_bit[phase]
+        return newM, newR
+
+    def six(i, carry):
+        mcur, rcur = carry
+        t0 = 6 * i
+        rcur = rcur << 6
+        for phase in range(6):
+            mcur, rcur = one_step(t0 + phase, phase, mcur, rcur)
+            if phase % 2 == 1:
+                sub = jnp.where(mcur[0:1, :] > C.RENORMALIZE_THRESHOLD,
+                                c63, zero)
+                mcur = jnp.maximum(mcur - sub, zero)
+
+        @pl.when((t0 + 6) % ckpt == 0)
+        def _():
+            reg_ref[pl.ds((t0 + 6) // ckpt - 1, 1)] = rcur[None]
+        return mcur, rcur
+
+    mfin, rfin = jax.lax.fori_loop(0, time_chunk // 6, six,
+                                   (metrics[:], regs[:]))
+    metrics[:] = mfin
+    regs[:] = rfin
+    met_ref[:] = mfin
+
+
 def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
                  reg_ref, met_ref, metrics, regs):
     """Register-exchange ACS: each state carries a 32-bit register of the
@@ -579,13 +707,14 @@ def pack_symbols_host(symbols: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
                                     "b_tile", "metric_dtype", "ckpt",
-                                    "mxu", "packed"))
+                                    "mxu", "packed", "geom", "xch_mode"))
 def forward_regs(symbols: jax.Array, nsteps: int,
                  initial_metrics: jax.Array | None = None,
                  time_chunk: int | None = None, interpret: bool = False,
                  b_tile: int = 512, metric_dtype=None,
                  ckpt: int | None = None, mxu: bool = True,
-                 packed: bool | str = False):
+                 packed: bool | str = False, geom: str = "cg3",
+                 xch_mode: str = "stack"):
     """Fused forward pass with path-register checkpoints.
 
     ``symbols``: [B, >=4*nsteps] int32 — or pre-packed one-word-per-step
@@ -643,7 +772,11 @@ def forward_regs(symbols: jax.Array, nsteps: int,
                        ((0, 0), (0, Bp - B)), constant_values=63)
     init = init.astype(metric_dtype)
 
-    if ckpt % 6 == 0:
+    if geom == "x6":
+        assert ckpt % 6 == 0, "x6 geometry needs 6 | ckpt"
+        kernel = functools.partial(_kernel_regs_x6, time_chunk, ckpt,
+                                   metric_dtype, packed, xch_mode)
+    elif ckpt % 6 == 0:
         kern_fn = _kernel_regs_cg_mxu if mxu else _kernel_regs_cg
         kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype,
                                    packed)

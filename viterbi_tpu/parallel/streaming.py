@@ -37,8 +37,17 @@ from .. import constants as C
 from ..ops import acs, traceback as tb
 from . import mesh as mesh_mod
 
-DEFAULT_OVERLAP = 70   # steps; >= TAIL_BITS + ~5K truncation margin, even
+# Overlap is the truncation-reliability knob: the measured sweep
+# (OVERLAP_SWEEP.json, scripts/overlap_sweep.py; 3.1 Mbit per cell at
+# 3072-bit blocks) shows streaming == whole-stream decode for overlap
+# >= 16 at the 3 dB DAB operating point, >= 48 at 1.5 dB, and >= 120 at
+# 0 dB. 120 costs 3.9% redundant compute per 3072-bit block and leaves
+# a wide margin below the operating point.
+DEFAULT_OVERLAP = 120  # steps; must be even and >= TAIL_BITS
 WARMUP_STEPS = 128     # pass-1 ACS length for boundary-metric estimation
+#   (same sweep artifact, warmup axis at overlap 120: 64 still leaves
+#   70 mismatched bits at 0 dB; 128 and 256 are both exactly clean —
+#   128 is the measured knee)
 
 
 def _uniform_metrics(batch: int) -> jax.Array:
@@ -110,7 +119,8 @@ def _auto_use_pallas() -> bool:
 
 def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
                         use_pallas: bool | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        warmup: int | None = None):
     """Build a jitted sharded decoder for terminated streams of
     ``stream_bits`` data bits.
 
@@ -130,7 +140,7 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
     assert tb_block % 8 == 0 and tb_block % 2 == 0
     assert overlap % 2 == 0 and overlap >= C.TAIL_BITS
     assert overlap <= tb_block, "overlap must fit in the neighbor block"
-    warm = min(WARMUP_STEPS, tb_block)
+    warm = min(WARMUP_STEPS if warmup is None else warmup, tb_block)
 
     ckpt = None
     if use_pallas:
@@ -226,7 +236,8 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
 
 def decode_stream(symbols, framebits: int, mesh=None,
                   overlap: int = DEFAULT_OVERLAP,
-                  use_pallas: bool | None = None, interpret: bool = False):
+                  use_pallas: bool | None = None, interpret: bool = False,
+                  warmup: int | None = None):
     """Convenience wrapper: ``symbols`` int[B, 4*(framebits+6)] for a
     terminated stream; splits data/tail symbols and decodes sharded."""
     if mesh is None:
@@ -236,5 +247,5 @@ def decode_stream(symbols, framebits: int, mesh=None,
     tail_syms = symbols[:, C.RATE * framebits: C.RATE * (framebits
                                                          + C.TAIL_BITS)]
     return make_stream_decoder(mesh, framebits, overlap,
-                               use_pallas=use_pallas,
-                               interpret=interpret)(data_syms, tail_syms)
+                               use_pallas=use_pallas, interpret=interpret,
+                               warmup=warmup)(data_syms, tail_syms)
