@@ -68,6 +68,33 @@ def test_regs_variants_bit_exact(mxu, packed):
     assert np.array_equal(np.asarray(out), expect)
 
 
+@pytest.mark.parametrize("xch_mode", ["stack", "roll"])
+def test_x6_geometry_bit_exact(xch_mode):
+    """The 6-phase exchange-form geometry (no transpose resets) must be
+    bit-exact vs the 3-phase CG kernel and golden, with both sub-tile
+    exchange lowerings, with entry metrics, and packed layouts."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    framebits = 192
+    nsteps = framebits + C.TAIL_BITS
+    bits, syms = channel.make_frames(2, framebits, seed=23)
+    arr = jnp.asarray(syms.astype(np.int32))
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    out = acs_pallas.decode(arr, framebits, interpret=True, geom="x6",
+                            xch_mode=xch_mode)
+    assert np.array_equal(np.asarray(out), expect)
+    # entry-metric plumb-through parity vs the cg3 kernel
+    init = jnp.asarray(
+        np.random.default_rng(1).integers(0, 120, (2, 64)).astype(np.int32))
+    r1, m1 = acs_pallas.forward_regs(arr, nsteps, initial_metrics=init,
+                                     interpret=True)
+    r2, m2 = acs_pallas.forward_regs(arr, nsteps, initial_metrics=init,
+                                     interpret=True, geom="x6",
+                                     xch_mode=xch_mode)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+
+
 def test_pack_symbols_host_matches_device():
     import jax.numpy as jnp
     from viterbi_tpu.ops import acs_pallas

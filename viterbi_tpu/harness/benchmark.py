@@ -6,14 +6,17 @@ variant, and fault-injects the recovery subsystem.
 
 CLI (flags mirror the reference, dashes also accepted):
     python -m viterbi_tpu.harness.benchmark [/f frames] [/t loops] [/not]
+                                            [/json PATH]
       /f    warm-up+BER frames, 100..25000 (default 500 here; the
             reference default of 5000 is overkill for a smoke run)
       /t    timed decode loops (default 100)
       /not  skip the fault-injection ("exception") tests
+      /json write the machine-readable report (HARNESS_TPU.json)
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -61,7 +64,7 @@ def ber_fer_test(variant: int, nframes: int, framebits: int = 3072,
 
 
 def speed_test(variant: int, loops: int, batch: int = 256,
-               bitrates=(32, 64, 96, 128)):
+               bitrates=(32, 64, 96, 128, 384)):
     """Timed batched decode per DAB bitrate (framebits = bitrate*24).
     Returns {bitrate: seconds_per_loop}. Completion is forced by a host
     fetch (async dispatch otherwise hides device time)."""
@@ -114,15 +117,19 @@ def environment_report() -> str:
         f"variants supported: "
         f"{[dispatch.VARIANTS[i] for i in _supported_variants()]}",
         f"config: {config_mod.default_path()}",
-        f"native host lib: "
-        f"{__import__('viterbi_tpu.utils.native', fromlist=['x']).have_native()}",
+        f"native host lib: {_have_native()}",
     ]
     return "\n".join(lines)
 
 
+def _have_native() -> bool:
+    from ..utils import native
+    return native.have_native()
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    frames, loops, test_exc = 500, 100, True
+    frames, loops, test_exc, json_path = 500, 100, True, None
     i = 0
     while i < len(argv):
         a = argv[i].lstrip("/-")
@@ -132,15 +139,21 @@ def main(argv=None):
             loops = max(10, min(500000, int(argv[i + 1]))); i += 2
         elif a == "not":
             test_exc = False; i += 1
+        elif a == "json":
+            json_path = argv[i + 1]; i += 2
         else:
             i += 1
 
     print(environment_report())
     api.initialize()
     variants = _supported_variants()
+    report = {"env": environment_report().split("\n"),
+              "frames": frames, "loops": loops, "batch": 256,
+              "variants": {}}
     baseline_times = None
     best, best_ratio = variants[0], 1.0  # must beat the baseline to win
     ref_ber = None
+    parity_ok = True
     for v in variants:
         name = dispatch.VARIANTS[v]
         print(f"\nTesting variant {v} ({name}) with {frames} frames...")
@@ -150,18 +163,28 @@ def main(argv=None):
         if ref_ber is None:
             ref_ber = (errs, bad)
         elif (errs, bad) != ref_ber:
+            parity_ok = False
             print("*** PARITY FAILURE: variants disagree on identical "
                   "noise ***")
         times = speed_test(v, loops)
+        vrec = {"ber": ber, "fer": fer, "bit_errors": errs,
+                "bad_frames": bad, "seconds_per_loop": {}}
         for bitrate, t in times.items():
             line = (f"Bitrate: {bitrate:5d}  Framebits: {bitrate * 24:5d}  "
                     f"Time: {t * loops:8.4f} sec")
+            vrec["seconds_per_loop"][str(bitrate)] = t
             if baseline_times is not None:
                 ratio = baseline_times[bitrate] / t
                 line += f"  {ratio:6.3f} x vs {dispatch.VARIANTS[variants[0]]}"
                 if ratio > best_ratio:
                     best_ratio, best = ratio, v
             print(line)
+        # time ∝ framebits sanity (viterbi-benchmark.cpp:16-24): compare
+        # per-framebit cost of the largest vs smallest timed frame
+        brs = sorted(times)
+        t_lo, t_hi = times[brs[0]] / brs[0], times[brs[-1]] / brs[-1]
+        vrec["time_per_framebit_ratio_maxmin"] = round(t_hi / t_lo, 3)
+        report["variants"][name] = vrec
         if baseline_times is None:
             baseline_times = times
 
@@ -169,11 +192,20 @@ def main(argv=None):
           f"({dispatch.VARIANTS[best]}).")
     config_mod.write_variant(best)
     api.initialize()
+    report["parity_ok"] = parity_ok
+    report["chosen_variant"] = dispatch.VARIANTS[best]
+    report["speedup_vs_slowest"] = round(best_ratio, 3)
 
     if test_exc:
         print("\nChecking the fault-recovery subsystem...")
-        print("fault injection:", "PASS" if fault_injection_test()
-              else "FAIL")
+        fi = fault_injection_test()
+        report["fault_injection"] = "PASS" if fi else "FAIL"
+        print("fault injection:", report["fault_injection"])
+
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
