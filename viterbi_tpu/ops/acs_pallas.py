@@ -528,12 +528,15 @@ def _kernel_regs_x6(time_chunk: int, ckpt: int, mdt, packed, xch_mode,
         return p | (jax.lax.population_count((j << 1) & int(C.POLYS[2])) & 1)
 
     def expand_matrix(phase):
-        # E[64, 8]: row p one-hot at pat(j) where j = pair index of the
-        # state held at row p at this phase (state = rotl_phase(p))
-        r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 8), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (64, 8), 1)
-        j = rotl(r64, phase) & 31
-        return (c == pat_of(j)).astype(jnp.bfloat16)
+        # E[128, 16]: rows 0-63 one-hot at pat(j) (selecting m), rows
+        # 64-127 at 8+pat(j) (selecting cm = 63-m from the X tile), j =
+        # pair index of the state held at row p (state = rotl_phase(p)).
+        # One matmul yields [F; Fc] stacked — no 63-F VPU op per step.
+        r = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 1)
+        j = rotl(r & 63, phase) & 31
+        col = pat_of(j) + jnp.where(r >= 64, 8, 0)
+        return (c == col).astype(jnp.bfloat16)
 
     Es = [expand_matrix(p) for p in range(6)]
 
@@ -563,13 +566,13 @@ def _kernel_regs_x6(time_chunk: int, ckpt: int, mdt, packed, xch_mode,
             sq = [s4[q][None, :] & 0xFF for q in range(4)]
         a = [jnp.broadcast_to(sq[q], (8, B)) ^ xm8[q] for q in range(4)]
         avg = lambda x, y: (x + y + 1) >> 1
-        m8 = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2).astype(
-            jnp.bfloat16)
-        F = jax.lax.dot_general(
-            Es[phase], m8, (((1,), (0,)), ((), ())),
+        m8 = avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2
+        X = jnp.concatenate([m8, 63 - m8], axis=0).astype(jnp.bfloat16)
+        FFc = jax.lax.dot_general(
+            Es[phase], X, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(mdt)
-        P = jnp.minimum(mv + F, c255)
-        Q = jnp.minimum(mv + (c63 - F), c255)
+        P = jnp.minimum(mv + FFc[:64], c255)
+        Q = jnp.minimum(mv + FFc[64:], c255)
         XQ = xch(Q, phase)
         newM = jnp.minimum(P, XQ)
         take = (XQ + hi_m[phase]) <= P
