@@ -27,7 +27,7 @@ instruction-count estimate (SURVEY.md §6) visible alongside.
 standalone RS(120,110) decode in codewords/s and the chained
 deconvolve->RS DAB+ audio superframe pipeline in superframes/s.
 
-Env knobs: BENCH_BATCH (default 8192), BENCH_FRAMEBITS (3072),
+Env knobs: BENCH_BATCH (default 16384), BENCH_FRAMEBITS (3072),
 BENCH_ITERS (100), BENCH_VARIANT (auto|pallas|jax_blocked|jax_scan),
 BENCH_SKIP_EXTRA=1 to bench only the Viterbi path.
 """
@@ -87,7 +87,7 @@ def main():
     from viterbi_tpu.ops import acs, traceback
 
     framebits = int(os.environ.get("BENCH_FRAMEBITS", 3072))
-    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    batch = int(os.environ.get("BENCH_BATCH", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 100))
     variant = os.environ.get("BENCH_VARIANT", "auto")
 

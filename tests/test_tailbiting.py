@@ -76,3 +76,29 @@ def test_pallas_matches_xla():
                                        wrap_steps=wrap, use_pallas=True,
                                        interpret=True)
     assert (np.asarray(out) == np.stack(want)).all()
+
+
+def test_tailbiting_wrap_tie_regression():
+    """On-chip parity (round 3) caught a 1-bit divergence on a frame
+    whose two best end states tie (48/49) with a circularly
+    inconsistent best path: the register path emitted the anchor
+    register's low bits while the golden convention dictates the
+    wrapped head (= the walk's start state). Frame preserved as a
+    fixture; both paths must match golden exactly."""
+    import os
+
+    import jax.numpy as jnp
+
+    from viterbi_tpu.ops import tailbiting
+
+    framebits = 768
+    syms = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "tb_tie_syms.npy"))[None]
+    want = golden.tailbiting_decode(framebits, syms[0], wrap_steps=96)
+    out_x = tailbiting.decode_tailbiting(jnp.asarray(syms), framebits,
+                                         wrap_steps=96, use_pallas=False)
+    assert np.array_equal(np.asarray(out_x)[0], want)
+    out_p = tailbiting.decode_tailbiting(jnp.asarray(syms), framebits,
+                                         wrap_steps=96, use_pallas=True,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(out_p)[0], want)

@@ -243,7 +243,12 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     @pl.when(pl.program_id(1) == 0)
     def _():
         metrics[:] = init_ref[:]
-        regs[:] = jnp.zeros_like(regs)
+        # seed each state's register with its own index: the bits above
+        # a checkpoint's own window then spell the survivor path's
+        # *start state* (pre-frame bits u_{-6}..u_{-1}) instead of
+        # zeros. Terminated decode never reads them; the tail-biting
+        # wrap convention needs them (traceback.wrap_last6).
+        regs[:] = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 0)
 
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
@@ -361,7 +366,12 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     @pl.when(pl.program_id(1) == 0)
     def _():
         metrics[:] = init_ref[:]
-        regs[:] = jnp.zeros_like(regs)
+        # seed each state's register with its own index: the bits above
+        # a checkpoint's own window then spell the survivor path's
+        # *start state* (pre-frame bits u_{-6}..u_{-1}) instead of
+        # zeros. Terminated decode never reads them; the tail-biting
+        # wrap convention needs them (traceback.wrap_last6).
+        regs[:] = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 0)
 
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
@@ -505,7 +515,12 @@ def _kernel_regs_x6(time_chunk: int, ckpt: int, mdt, packed, xch_mode,
     @pl.when(pl.program_id(1) == 0)
     def _():
         metrics[:] = init_ref[:]
-        regs[:] = jnp.zeros_like(regs)
+        # seed each state's register with its own index: the bits above
+        # a checkpoint's own window then spell the survivor path's
+        # *start state* (pre-frame bits u_{-6}..u_{-1}) instead of
+        # zeros. Terminated decode never reads them; the tail-biting
+        # wrap convention needs them (traceback.wrap_last6).
+        regs[:] = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 0)
 
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
@@ -624,7 +639,12 @@ def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
     @pl.when(pl.program_id(1) == 0)
     def _():
         metrics[:] = init_ref[:]
-        regs[:] = jnp.zeros_like(regs)
+        # seed each state's register with its own index: the bits above
+        # a checkpoint's own window then spell the survivor path's
+        # *start state* (pre-frame bits u_{-6}..u_{-1}) instead of
+        # zeros. Terminated decode never reads them; the tail-biting
+        # wrap convention needs them (traceback.wrap_last6).
+        regs[:] = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 0)
 
     brow = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
     # branch polarity as XOR masks (0 or 255): 255 - s == s ^ 255 for u8

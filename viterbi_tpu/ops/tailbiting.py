@@ -31,9 +31,13 @@ def decode_tailbiting(symbols: jax.Array, framebits: int,
     -> uint8[B, framebits//8] MSB-first packed bytes.
 
     ``use_pallas`` runs the main pass through the register-exchange
-    kernel and the anchored checkpoint walk (``tail=0``); with register
-    exchange the bit recorded at step t IS data bit u_t, so no circular
-    re-indexing is needed. Bit-exact vs the XLA path and golden."""
+    kernel and the anchored checkpoint walk (``tail=0``); the bit
+    recorded at step t IS data bit u_t for t < framebits-6, and the
+    final 6 bits follow the circular convention via ``wrap_last6``
+    (bits of the walk's start state — see chainback_regs_pallas; the
+    anchor register's own low bits differ from the convention when the
+    best path is not circularly consistent). Bit-exact vs the XLA path
+    and golden."""
     assert wrap_steps % 2 == 0 and wrap_steps <= framebits
     B = symbols.shape[0]
     syms = symbols[:, : C.RATE * framebits].astype(jnp.int32)
@@ -51,7 +55,8 @@ def decode_tailbiting(symbols: jax.Array, framebits: int,
             syms, framebits, initial_metrics=metrics, interpret=interpret)
         anchor = jnp.argmin(fmet, axis=1).astype(jnp.int32)
         return chainback_regs_pallas(regs, framebits, ckpt=ckpt, tail=0,
-                                     anchor=anchor, interpret=interpret)
+                                     anchor=anchor, interpret=interpret,
+                                     wrap_last6=True)
 
     decisions, metrics = acs.forward(syms, framebits,
                                      initial_metrics=metrics)

@@ -231,12 +231,14 @@ def _pick_kc(K: int, bt: int, budget: int = 3 * 2**20) -> int:
 
 
 @partial(jax.jit, static_argnames=("framebits", "ckpt", "b_tile",
-                                   "interpret", "kc_budget", "tail"))
+                                   "interpret", "kc_budget", "tail",
+                                   "wrap_last6"))
 def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
                           b_tile: int = 512, interpret: bool = False,
                           kc_budget: int = 3 * 2**20,
                           tail: int = C.TAIL_BITS,
-                          anchor: jax.Array | None = None) -> jax.Array:
+                          anchor: jax.Array | None = None,
+                          wrap_last6: bool = False) -> jax.Array:
     """Pallas twin of ``chainback_regs``: the sequential checkpoint walk
     runs in a kernel (fori_loop over checkpoints, binary-tournament
     state select per step), eliminating the XLA scan's per-step dispatch
@@ -245,7 +247,18 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
 
     ``tail``/``anchor`` generalize to tail-biting: ``tail=0`` decodes a
     trellis of exactly ``framebits`` steps, anchored at ``anchor``
-    (int32[B] best end states) instead of the terminated state 0."""
+    (int32[B] best end states) instead of the terminated state 0.
+
+    ``wrap_last6`` applies the tail-biting circular convention for the
+    final 6 data bits: golden emits data bit t >= framebits-6 from the
+    decision at wrapped step t+6-framebits, which equals bit
+    (framebits-1-t) of the survivor path's *start* state — NOT the
+    anchor register's low bits. The two differ exactly when the
+    best-metric path is not circularly consistent (e.g. on end-metric
+    ties), where the register low bits describe the path's own tail
+    while the convention dictates the wrapped head. Found by the
+    on-chip parity sweep (PARITY_TPU.json, round 3): 1/16 frames, one
+    bit, end-metric tie between states 48/49."""
     nsteps = framebits + tail
     K, _, B = regs.shape
     assert K == -(-nsteps // ckpt)
@@ -281,8 +294,18 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     )(anc, regs)
     rs = rs.reshape(K, Bp)
     if ckpt <= 24:
-        return _regs_bytes(rs[:, :B], framebits, ckpt, gap, tail=tail)
-    return _regs_bits(rs[:, :B], framebits, ckpt, gap)
+        out = _regs_bytes(rs[:, :B], framebits, ckpt, gap, tail=tail)
+    else:
+        out = _regs_bits(rs[:, :B], framebits, ckpt, gap)
+    if wrap_last6:
+        assert tail == 0 and framebits % 8 == 0
+        # survivor path's start state = the state the walk ends on:
+        # register at checkpoint 0 shifted past its own window
+        shift0 = ckpt if K > 1 else gap
+        state0 = (rs[0, :B] >> shift0) & 63
+        last = (out[:, -1].astype(jnp.int32) & 0xC0) | state0
+        out = out.at[:, -1].set(last.astype(jnp.uint8))
+    return out
 
 
 def _pred_maps(decisions: jax.Array) -> jax.Array:
