@@ -151,8 +151,13 @@ def main():
         note=("e2e pipeline: pack_symbols_host (byte reinterpret) -> "
               "device_put -> Pallas decode, depth-%d in flight. Ring "
               "measured standalone: %d python producer threads pushing "
-              "one frame per call (the QIRX per-frame calling pattern)."
-              % (args.depth, args.ring_producers)))
+              "one frame per call (the QIRX per-frame calling pattern). "
+              "On a tunneled chip the device_put link rate "
+              "(batch bytes / device_put_ms = %.0f MB/s here) is the "
+              "entire host-ingest gap; a production host's local PCIe "
+              "moves the same batch within the device step."
+              % (args.depth, args.ring_producers,
+                 B * frame_len / put_dt / 1e6)))
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc, indent=1))

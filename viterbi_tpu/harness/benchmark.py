@@ -195,6 +195,13 @@ def main(argv=None):
     report["parity_ok"] = parity_ok
     report["chosen_variant"] = dispatch.VARIANTS[best]
     report["speedup_vs_slowest"] = round(best_ratio, 3)
+    report["note"] = (
+        "speed_test times the public API path: every deconvolve_batch "
+        "call re-transfers the full symbol buffer host->device, as the "
+        "reference benchmark's per-call buffer passing does. On this "
+        "environment's tunneled chip that transfer dominates the "
+        "absolute times; bench.py reports the device-resident "
+        "steady-state rate.")
 
     if test_exc:
         print("\nChecking the fault-recovery subsystem...")

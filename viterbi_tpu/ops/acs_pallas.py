@@ -723,8 +723,11 @@ def pack_symbols_host(symbols: np.ndarray) -> np.ndarray:
     """
     b, s4 = symbols.shape
     assert s4 % 4 == 0
-    return np.ascontiguousarray(symbols.astype(np.uint8)).view(
-        np.int32).reshape(b, s4 // 4)
+    # zero-copy when frames already arrive as contiguous u8 (the
+    # over-the-wire layout): astype would copy even u8->u8
+    a = np.ascontiguousarray(symbols) if symbols.dtype == np.uint8 \
+        else np.ascontiguousarray(symbols.astype(np.uint8))
+    return a.view(np.int32).reshape(b, s4 // 4)
 
 
 @functools.partial(jax.jit,
