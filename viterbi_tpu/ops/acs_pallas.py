@@ -221,8 +221,8 @@ def _choose_time_chunk(nsteps: int, ckpt: int, target: int = 200) -> int:
     return best * ckpt
 
 
-def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
-                    init_ref, reg_ref, met_ref, metrics, regs):
+def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, reset_at,
+                    sym_ref, init_ref, reg_ref, met_ref, metrics, regs):
     """Constant-geometry register-exchange ACS.
 
     The naive butterfly interleaves the 64-state (sublane) axis every
@@ -253,6 +253,8 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
     zero = jnp.asarray(0, mdt)
+    # hoisted: program_id inside the fori body fails interpret lowering
+    chunk_base = pl.program_id(1) * time_chunk
 
     def masks_for_phase(phase):
         # lo-row r (in the [32, B] compacted lo half at this phase) holds
@@ -320,6 +322,18 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     def six(i, carry):
         mcur, rcur = carry
         t0 = 6 * i
+        if reset_at >= 0:
+            # front-pad support: at the pad/real boundary (a window
+            # start), discard the pad region's state and start the real
+            # trellis from the caller's initial metrics + seeded
+            # registers — numerics from here on are identical to an
+            # unpadded decode (decode() pads nsteps up to a multiple of
+            # 24 so every DAB bitrate gets the cheap ckpt=24 layout)
+            hit = chunk_base + t0 == reset_at
+            mcur = jnp.where(hit, init_ref[:].astype(mcur.dtype), mcur)
+            rcur = jnp.where(
+                hit, jax.lax.broadcasted_iota(jnp.int32, rcur.shape, 0),
+                rcur)
         rcur = rcur << 6         # free bit positions 5..0 for this window
         for half in range(2):
             for phase in range(3):
@@ -345,8 +359,9 @@ def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     met_ref[:] = mfin
 
 
-def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
-                        init_ref, reg_ref, met_ref, metrics, regs):
+def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, reset_at,
+                        sym_ref, init_ref, reg_ref, met_ref, metrics,
+                        regs):
     """Constant-geometry ACS with MXU-expanded branch metrics.
 
     The avg-tree runs once per step on an [8, B] tile (the 8 distinct
@@ -376,6 +391,7 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     c255 = jnp.asarray(255, mdt)
     c63 = jnp.asarray(63, mdt)
     zero = jnp.asarray(0, mdt)
+    chunk_base = pl.program_id(1) * time_chunk
 
     # Pattern-tree polarity masks: row r of the [8, B] tile is pattern
     # (p0, p1, p2) = (bit2, bit1, bit0) of r; x_q = 255 if p_q else 0.
@@ -456,6 +472,18 @@ def _kernel_regs_cg_mxu(time_chunk: int, ckpt: int, mdt, packed, sym_ref,
     def six(i, carry):
         mcur, rcur = carry
         t0 = 6 * i
+        if reset_at >= 0:
+            # front-pad support: at the pad/real boundary (a window
+            # start), discard the pad region's state and start the real
+            # trellis from the caller's initial metrics + seeded
+            # registers — numerics from here on are identical to an
+            # unpadded decode (decode() pads nsteps up to a multiple of
+            # 24 so every DAB bitrate gets the cheap ckpt=24 layout)
+            hit = chunk_base + t0 == reset_at
+            mcur = jnp.where(hit, init_ref[:].astype(mcur.dtype), mcur)
+            rcur = jnp.where(
+                hit, jax.lax.broadcasted_iota(jnp.int32, rcur.shape, 0),
+                rcur)
         rcur = rcur << 6
         for half in range(2):
             for phase in range(3):
@@ -733,14 +761,15 @@ def pack_symbols_host(symbols: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
                                     "b_tile", "metric_dtype", "ckpt",
-                                    "mxu", "packed", "geom", "xch_mode"))
+                                    "mxu", "packed", "geom", "xch_mode",
+                                    "front_pad"))
 def forward_regs(symbols: jax.Array, nsteps: int,
                  initial_metrics: jax.Array | None = None,
                  time_chunk: int | None = None, interpret: bool = False,
                  b_tile: int = 512, metric_dtype=None,
                  ckpt: int | None = None, mxu: bool = True,
                  packed: bool | str = False, geom: str = "cg3",
-                 xch_mode: str = "stack"):
+                 xch_mode: str = "stack", front_pad: int = 0):
     """Fused forward pass with path-register checkpoints.
 
     ``symbols``: [B, >=4*nsteps] int32 — or pre-packed one-word-per-step
@@ -753,6 +782,24 @@ def forward_regs(symbols: jax.Array, nsteps: int,
     32 survivor-path input bits as of trellis time (k+1)*ckpt.
     """
     assert nsteps % 2 == 0
+    if front_pad:
+        # prepend dead trellis steps so nsteps lands on a cheap
+        # checkpoint period; the kernel re-initializes metrics and
+        # registers at the boundary (reset_at), so the real region is
+        # bit-identical to an unpadded decode and the pad's ~1% extra
+        # steps buy an up-to-4x shorter checkpoint/walk layout
+        assert front_pad % 6 == 0 and front_pad > 0
+        if packed == "bt":
+            symbols = jnp.pad(symbols.astype(jnp.int32),
+                              ((0, 0), (front_pad, 0)))
+        elif packed:
+            symbols = jnp.pad(symbols.astype(jnp.int32),
+                              ((front_pad, 0), (0, 0)))
+        else:
+            symbols = jnp.pad(symbols[:, : C.RATE * nsteps]
+                              .astype(jnp.int32),
+                              ((0, 0), (C.RATE * front_pad, 0)))
+        nsteps = nsteps + front_pad
     if ckpt is None:
         ckpt = choose_ckpt(nsteps)
     assert nsteps % ckpt == 0 and ckpt % 2 == 0 and ckpt <= 26
@@ -800,14 +847,16 @@ def forward_regs(symbols: jax.Array, nsteps: int,
 
     if geom == "x6":
         assert ckpt % 6 == 0, "x6 geometry needs 6 | ckpt"
+        assert not front_pad, "front_pad needs the cg3 kernels"
         kernel = functools.partial(_kernel_regs_x6, time_chunk, ckpt,
                                    metric_dtype, packed, xch_mode)
     elif ckpt % 6 == 0:
         kern_fn = _kernel_regs_cg_mxu if mxu else _kernel_regs_cg
         kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype,
-                                   packed)
+                                   packed, front_pad if front_pad else -1)
     else:
-        assert not packed, "packed input requires the CG kernels"
+        assert not packed and not front_pad, \
+            "packed/padded input requires the CG kernels"
         kern_fn = _kernel_regs
         kernel = functools.partial(kern_fn, time_chunk, ckpt, metric_dtype)
     cpb = time_chunk // ckpt
@@ -840,10 +889,22 @@ def forward_regs(symbols: jax.Array, nsteps: int,
 def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     """Fused end-to-end decode: forward_regs + checkpoint-walk traceback
     with a consistent checkpoint period. [B, 4*(framebits+6)] int32 ->
-    uint8[B, framebits//8]."""
+    uint8[B, framebits//8].
+
+    When nsteps has no checkpoint divisor >= 18 (e.g. framebits 1536 /
+    4608 / 9216, where nsteps/6 is prime), the trellis is front-padded
+    to a multiple of 24 (<= 18 dead steps, ~1%) so every DAB bitrate
+    runs the cheap ckpt=24 layout instead of the 4x-checkpoint ckpt=6
+    fallback (measured in LADDER_TPU.json)."""
     from . import traceback as tb
     nsteps = framebits + C.TAIL_BITS
     interpret = kw.get("interpret", False)
-    regs, _ = forward_regs(symbols, nsteps, **kw)
-    return tb.chainback_regs_pallas(regs, framebits, ckpt=choose_ckpt(nsteps),
-                                    interpret=interpret)
+    ckpt = kw.pop("ckpt", None) or choose_ckpt(nsteps)
+    pad = 0
+    if ckpt < 18 and "geom" not in kw and kw.get("mxu", True):
+        pad = (-nsteps) % 24
+        ckpt = 24
+    regs, _ = forward_regs(symbols, nsteps, ckpt=ckpt, front_pad=pad,
+                           **kw)
+    return tb.chainback_regs_pallas(regs, framebits, ckpt=ckpt,
+                                    interpret=interpret, offset=pad)

@@ -152,7 +152,8 @@ def _regs_bits(rs: jax.Array, framebits: int, ckpt: int,
 
 
 def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
-                gap: int, tail: int = C.TAIL_BITS) -> jax.Array:
+                gap: int, tail: int = C.TAIL_BITS,
+                offset: int = 0) -> jax.Array:
     """Byte-granular assembly from survivor-register windows.
 
     Each checkpoint register holds the last 32 survivor input bits, i.e.
@@ -161,14 +162,18 @@ def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
     byte i = (rs[k_i] >> p_i) & 255 with static (k_i, p_i). One gather +
     one shift — no [nsteps, B] bit expansion (that expansion measured
     ~2.3 ms at B=4096, several times the walk itself).
+
+    ``offset`` skips a front-padded region: data bit t of the frame
+    lives at trellis step offset + t (acs_pallas.forward_regs
+    front_pad).
     """
     import numpy as np
     assert ckpt <= 24
     K, B = rs.shape
-    nsteps = framebits + tail
+    nsteps = offset + framebits + tail
     nbytes = framebits // 8
     i = np.arange(nbytes)
-    tend = 8 * i + 7                       # time of the byte's last bit
+    tend = offset + 8 * i + 7              # time of the byte's last bit
     k = np.minimum(tend // ckpt, K - 1)
     wend = np.where(k < K - 1, (k + 1) * ckpt - 1, nsteps - 1)
     p = wend - tend                        # shift within register k
@@ -232,13 +237,14 @@ def _pick_kc(K: int, bt: int, budget: int = 3 * 2**20) -> int:
 
 @partial(jax.jit, static_argnames=("framebits", "ckpt", "b_tile",
                                    "interpret", "kc_budget", "tail",
-                                   "wrap_last6"))
+                                   "wrap_last6", "offset"))
 def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
                           b_tile: int = 512, interpret: bool = False,
                           kc_budget: int = 3 * 2**20,
                           tail: int = C.TAIL_BITS,
                           anchor: jax.Array | None = None,
-                          wrap_last6: bool = False) -> jax.Array:
+                          wrap_last6: bool = False,
+                          offset: int = 0) -> jax.Array:
     """Pallas twin of ``chainback_regs``: the sequential checkpoint walk
     runs in a kernel (fori_loop over checkpoints, binary-tournament
     state select per step), eliminating the XLA scan's per-step dispatch
@@ -259,7 +265,7 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     while the convention dictates the wrapped head. Found by the
     on-chip parity sweep (PARITY_TPU.json, round 3): 1/16 frames, one
     bit, end-metric tie between states 48/49."""
-    nsteps = framebits + tail
+    nsteps = offset + framebits + tail
     K, _, B = regs.shape
     assert K == -(-nsteps // ckpt)
     gap = nsteps - (K - 1) * ckpt
@@ -294,8 +300,10 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     )(anc, regs)
     rs = rs.reshape(K, Bp)
     if ckpt <= 24:
-        out = _regs_bytes(rs[:, :B], framebits, ckpt, gap, tail=tail)
+        out = _regs_bytes(rs[:, :B], framebits, ckpt, gap, tail=tail,
+                          offset=offset)
     else:
+        assert offset == 0
         out = _regs_bits(rs[:, :B], framebits, ckpt, gap)
     if wrap_last6:
         assert tail == 0 and framebits % 8 == 0
