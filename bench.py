@@ -166,16 +166,20 @@ def main():
         def corrupt_mix(base, frac, max_errs, uncorrectable=0):
             """frac of codewords get 1..max_errs byte errors; the first
             `uncorrectable` codewords get 9 errors (> t=5, forces the
-            -1 path)."""
+            -1 path). Vectorized: a per-codeword python loop over 64K
+            words costs ~30s of untimed setup per bench run."""
             cws = base.copy()
-            hit = rng.random(len(cws)) < frac
-            for i in np.flatnonzero(hit):
-                e = rng.integers(1, max_errs + 1)
-                pos = rng.choice(C.RS_N, e, replace=False)
-                cws[i, pos] ^= rng.integers(1, 256, e)
-            for i in range(uncorrectable):
-                pos = rng.choice(C.RS_N, 9, replace=False)
-                cws[i, pos] ^= rng.integers(1, 256, 9)
+            n = len(cws)
+            # unique positions per row via argsort of random keys
+            pos = rng.random((n, C.RS_N)).argsort(axis=1)[:, :9]
+            vals = rng.integers(1, 256, (n, 9))
+            nerr = rng.integers(1, max_errs + 1, n)
+            nerr = np.where(rng.random(n) < frac, nerr, 0)
+            if uncorrectable:
+                nerr[:uncorrectable] = 9
+            use = np.arange(9)[None, :] < nerr[:, None]
+            flat = (np.arange(n)[:, None] * C.RS_N + pos)[use]
+            np.bitwise_xor.at(cws.reshape(-1), flat, vals[use])
             return jnp.asarray(cws, jnp.int32)
 
         rs_fn = jax.jit(lambda b: rs_ops.rs_decode_blocks(b)[0][:128])

@@ -16,24 +16,12 @@ Usage: python scripts/dce_check.py [--framebits N] [--batch N]
 import argparse
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
+import numpy as np  # noqa: F401
 
-
-def timeit(fn, *a, iters=20, warmup=5):
-    import jax
-    np.asarray(jax.tree.leaves(fn(*a))[0])
-    for _ in range(warmup):
-        out = fn(*a)
-    np.asarray(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*a)
-    np.asarray(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+from benchutil import setup_jax_cache, timeit
 
 
 def main():
@@ -42,9 +30,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     args = ap.parse_args()
 
-    import jax
-    os.makedirs("/root/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax = setup_jax_cache()
     import jax.numpy as jnp
     from viterbi_tpu import constants as C
     from viterbi_tpu.ops import acs, traceback
@@ -64,8 +50,8 @@ def main():
     sliced = jax.jit(lambda s: decode(s)[:128])
     reduced = jax.jit(lambda s: decode(s).astype(jnp.int32).sum())
 
-    t_sliced = timeit(sliced, syms)
-    t_reduced = timeit(reduced, syms)
+    t_sliced = timeit(sliced, syms, iters=20, warmup=5)
+    t_reduced = timeit(reduced, syms, iters=20, warmup=5)
     ratio = t_sliced / t_reduced
     ok = ratio >= 0.7
     print(f"jax_blocked fb={fb} B={B}: sliced {t_sliced*1e3:.2f} ms, "

@@ -13,31 +13,12 @@ Usage: python scripts/kbench.py [--framebits N] [--batch N] [--iters N]
 import argparse
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-
-def _sync(out):
-    # block_until_ready does not reliably block on tunneled platforms;
-    # a host fetch of a small leaf does.
-    import jax
-    np.asarray(jax.tree.leaves(out)[0])
-
-
-def timeit(fn, *args, iters=50, warmup=8):
-    out = fn(*args)
-    _sync(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+from benchutil import setup_jax_cache, timeit
 
 
 def main():
@@ -48,9 +29,7 @@ def main():
     ap.add_argument("--only", type=str, default="")
     args = ap.parse_args()
 
-    import jax
-    os.makedirs("/root/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax = setup_jax_cache()
     import jax.numpy as jnp
     from viterbi_tpu import constants as C
     from viterbi_tpu.ops import acs_pallas as ap_, traceback as tb

@@ -14,11 +14,12 @@ import argparse
 import json
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+from benchutil import setup_jax_cache, timeit
 
 
 def main():
@@ -28,9 +29,7 @@ def main():
     ap.add_argument("--out", type=str, default="LADDER_TPU.json")
     args = ap.parse_args()
 
-    import jax
-    os.makedirs("/root/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax = setup_jax_cache()
     import jax.numpy as jnp
     from viterbi_tpu import constants as C
     from viterbi_tpu.ops import acs_pallas as ap_
@@ -46,15 +45,7 @@ def main():
             .astype(np.int32)))
         f = jax.jit(lambda s, fb=fb: ap_.decode(s, fb,
                                                 packed="bt")[:128, :])
-        np.asarray(f(syms))
-        for _ in range(8):
-            out = f(syms)
-        np.asarray(out)
-        t0 = time.perf_counter()
-        for _ in range(it):
-            out = f(syms)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / it
+        dt = timeit(f, syms, iters=it, warmup=8)
         nsym = B * C.RATE * nsteps
         rows.append(dict(kbps=kbps, framebits=fb,
                          ms_per_batch=round(dt * 1e3, 3),

@@ -206,3 +206,53 @@ def test_calllog_and_symbol_capture(tmp_path):
     caps = glob.glob(str(tmp_path / "log" / "trace_sym" / "*.npy"))
     assert len(caps) == 1
     assert np.array_equal(np.load(caps[0]), syms[:4 * (framebits + 6)])
+
+
+def test_non_multiple_of_six_framebits_decodes():
+    """framebits like 64 (nsteps 70, no 6-divisor) must use the natural
+    checkpoint period, not the front-pad path (code-review r3
+    regression: the pad assert latched safe mode for framebits 64)."""
+    framebits = 64
+    bits = np.random.default_rng(2).integers(0, 2, framebits,
+                                             dtype=np.uint8)
+    syms = golden.hard_to_soft(golden.encode(bits))
+    out = np.zeros(framebits // 8, dtype=np.uint8)
+    assert viterbi_tpu.deconvolve(framebits, syms, 0, out) == 0
+    assert not dispatch.state().safe_mode
+    assert np.array_equal(out, np.packbits(bits))
+
+
+def test_plain_buffer_outputs():
+    """bytearray output buffers (no .size attribute) must pass the
+    length validation and receive the decoded bytes / RS prefix."""
+    framebits = 96
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, framebits, dtype=np.uint8)
+    syms = golden.hard_to_soft(golden.encode(bits))
+    buf = bytearray(framebits // 8)
+    assert viterbi_tpu.deconvolve(framebits, syms, 0, buf) == 0
+    assert bytes(buf) == np.packbits(bits).tobytes()
+
+    # RS -1 path writes the prefix through a strided view of a plain
+    # buffer and through a non-contiguous ndarray alike
+    from viterbi_tpu import constants as C
+
+    rs_dims = 3
+    msgs = rng.integers(0, 256, (rs_dims, C.RS_KK), dtype=np.uint8)
+    cws = np.stack([golden.rs_encode_codeword(m)
+                    for m in msgs]).astype(np.int64)
+    pos = rng.choice(C.RS_N, 9, replace=False)
+    cws[1, pos] ^= rng.integers(1, 256, 9)      # codeword 1 uncorrectable
+    inter = cws.T.reshape(-1).astype(np.uint8)
+    ba = bytearray(b"\xee" * (rs_dims * C.RS_KK))
+    assert viterbi_tpu.rs_check_superframe(inter, 0, rs_dims, ba) == -1
+    view = np.frombuffer(bytes(ba), np.uint8).reshape(C.RS_KK, rs_dims).T
+    assert np.array_equal(view[0], msgs[0])
+    assert (view[1] == 0xEE).all() and (view[2] == 0xEE).all()
+
+    big = np.full(2 * rs_dims * C.RS_KK, 0xEE, dtype=np.uint8)
+    strided = big[::2]                           # non-contiguous view
+    assert viterbi_tpu.rs_check_superframe(inter, 0, rs_dims, strided) == -1
+    view2 = strided.reshape(C.RS_KK, rs_dims).T  # copy is fine for reading
+    assert np.array_equal(view2[0], msgs[0])
+    assert (view2[1] == 0xEE).all()

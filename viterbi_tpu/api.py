@@ -29,6 +29,23 @@ from .runtime import calllog, dispatch, faults
 
 _SAFE = faults.SAFE_MODE_RETVAL
 
+
+def _buf_len(buf) -> int:
+    """Element count of an output buffer: ndarray .size, or len() for
+    plain buffers (bytearray, memoryview, list)."""
+    n = getattr(buf, "size", None)
+    return len(buf) if n is None else int(n)
+
+
+def _buf_write(buf, sl: slice, values: np.ndarray) -> None:
+    """Assign uint8 values into ``buf[sl]`` for ndarrays and plain
+    byte buffers alike (bytearray slice assignment rejects ndarrays;
+    feed it bytes)."""
+    if isinstance(buf, np.ndarray):
+        buf[sl] = values
+    else:
+        buf[sl] = bytes(np.ascontiguousarray(values))
+
 # Per-thread result channel: the reference is re-entrant by design
 # (decisions live on the caller's stack, README.md:56); concurrent
 # Python callers must likewise never read each other's results.
@@ -134,13 +151,13 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
     syms = np.asarray(symbols).reshape(-1)
     if syms.size < C.RATE * (framebits + C.TAIL_BITS):
         raise faults.ValidationError("symbol buffer too short")
-    if output is not None and getattr(output, "size", 0) < framebits // 8:
+    if output is not None and _buf_len(output) < framebits // 8:
         raise faults.ValidationError("output buffer too short")
     with calllog.record("deco", framebits=framebits) as rec:
         rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)])
         out = _decode_batch(syms[None, :], framebits)[0]
     if output is not None:
-        output[: out.size] = out
+        _buf_write(output, slice(0, out.size), out)
     _tls.deco_out = out  # per-thread functional access (last_output())
     return 0
 
@@ -191,7 +208,7 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
     if buf.size < rs_dims * C.RS_N:
         raise faults.ValidationError("superframe buffer too short")
     if out_vector is not None and \
-            getattr(out_vector, "size", 0) < rs_dims * C.RS_KK:
+            _buf_len(out_vector) < rs_dims * C.RS_KK:
         raise faults.ValidationError("output buffer too short")
     with calllog.record("rscs", rs_dims=rs_dims) as rec:
         rec.capture_symbols(buf[: rs_dims * C.RS_N])
@@ -201,14 +218,18 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
     out = np.asarray(out)
     if out_vector is not None:
         if errors != -1:
-            out_vector[: out.size] = out
+            _buf_write(out_vector, slice(0, out.size), out)
         else:
             # partial write: corrected prefix only, interleaved stride —
-            # byte k of codeword j lives at out[j + k*rs_dims]
+            # byte k of codeword j lives at out[j + k*rs_dims]. Strided
+            # slice assignment writes through for ndarrays of any
+            # contiguity and for plain buffers (a reshape of a
+            # non-contiguous view would return a copy and lose the
+            # write).
             n_ok = int(n_ok)
-            if n_ok:
-                dst = out_vector[: rs_dims * C.RS_KK].reshape(
-                    C.RS_KK, rs_dims)
-                dst[:, :n_ok] = out.reshape(C.RS_KK, rs_dims)[:, :n_ok]
+            src = out.reshape(C.RS_KK, rs_dims)
+            end = rs_dims * C.RS_KK
+            for j in range(n_ok):
+                _buf_write(out_vector, slice(j, end, rs_dims), src[:, j])
     _tls.rs_out = out
     return errors

@@ -131,16 +131,22 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     frames, loops, test_exc, json_path = 500, 100, True, None
     i = 0
+
+    def val(j):
+        if j >= len(argv):
+            sys.exit(f"missing value after {argv[j - 1]}")
+        return argv[j]
+
     while i < len(argv):
         a = argv[i].lstrip("/-")
         if a == "f":
-            frames = max(100, min(25000, int(argv[i + 1]))); i += 2
+            frames = max(100, min(25000, int(val(i + 1)))); i += 2
         elif a == "t":
-            loops = max(10, min(500000, int(argv[i + 1]))); i += 2
+            loops = max(10, min(500000, int(val(i + 1)))); i += 2
         elif a == "not":
             test_exc = False; i += 1
         elif a == "json":
-            json_path = argv[i + 1]; i += 2
+            json_path = val(i + 1); i += 2
         else:
             i += 1
 

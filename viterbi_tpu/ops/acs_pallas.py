@@ -901,7 +901,12 @@ def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     interpret = kw.get("interpret", False)
     ckpt = kw.pop("ckpt", None) or choose_ckpt(nsteps)
     pad = 0
-    if ckpt < 18 and "geom" not in kw and kw.get("mxu", True):
+    # padding requires window-aligned boundaries (reset lands at a
+    # 6-step window start), so only nsteps % 6 == 0 qualifies — other
+    # framebits (e.g. 64 -> nsteps 70) keep their natural ckpt and the
+    # non-CG kernel
+    if (ckpt < 18 and nsteps % 6 == 0 and "geom" not in kw
+            and kw.get("mxu", True)):
         pad = (-nsteps) % 24
         ckpt = 24
     regs, _ = forward_regs(symbols, nsteps, ckpt=ckpt, front_pad=pad,

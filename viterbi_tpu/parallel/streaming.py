@@ -151,6 +151,11 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
         ckpt = next(d for d in (24, 18, 12, 6)
                     if (tb_block + C.TAIL_BITS) % d == 0)
         overlap += (-(overlap - C.TAIL_BITS)) % ckpt  # overlap ≡ 6 (mod ckpt)
+        if overlap > tb_block:
+            raise ValueError(
+                f"overlap {overlap} (after checkpoint rounding) exceeds "
+                f"the {tb_block}-bit per-device block; use more data "
+                f"bits per device or a smaller overlap")
         warm = max(ckpt, warm - warm % ckpt)
 
     right = [(d, d + 1) for d in range(n_seq - 1)]
