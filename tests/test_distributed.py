@@ -57,6 +57,26 @@ _WORKER = textwrap.dedent("""
     assert len(jax.devices()) == 2 * len(jax.local_devices())
     sl = distributed.local_batch_slice(8)
     assert sl == slice(4 * jax.process_index(), 4 * jax.process_index() + 4)
+
+    # real decode work on the local DP shard (both workers build the
+    # same global batch; each decodes its slice and verifies)
+    import numpy as np
+    import jax.numpy as jnp
+    from viterbi_tpu import golden
+    from viterbi_tpu.ops import acs, traceback
+    framebits = 96
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (8, framebits), dtype=np.uint8)
+    syms = np.stack([golden.hard_to_soft(golden.encode(b)) for b in bits])
+    dec, _ = acs.forward(jnp.asarray(syms[sl].astype(np.int32)),
+                         framebits + 6)
+    out = np.asarray(traceback.chainback_blocked(dec, framebits, block=8))
+    assert (out == np.packbits(bits[sl], axis=1)).all(), "local decode wrong"
+
+    # a collective that actually crosses the process boundary
+    total = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+        jnp.ones((len(jax.local_devices()),)))
+    assert int(total[0]) == len(jax.devices()), total
     print("WORKER_OK", jax.process_index())
 """)
 
