@@ -129,3 +129,21 @@ def test_choose_ckpt_properties():
         assert ck % 6 == 0  # CG kernel eligible for all DAB shapes
         tc = acs_pallas._choose_time_chunk(nsteps, ck)
         assert nsteps % tc == 0 and tc % ck == 0
+
+
+def test_decode_framebits_layout_sweep():
+    """decode() across checkpoint-layout classes: nsteps with a natural
+    ckpt (96->102: pad to 24; 168->174: pad to 24), without a 6-divisor
+    (8->14 and 224->230: non-CG kernel, natural ckpt), and tiny frames.
+    Every class must be bit-exact vs golden (code-review r3 regression
+    coverage for the front-pad guard)."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    rng = np.random.default_rng(31)
+    for framebits in (8, 64, 96, 168, 224):
+        nsteps = framebits + C.TAIL_BITS
+        syms = rng.integers(0, 256, (2, 4 * nsteps), dtype=np.int32)
+        out = acs_pallas.decode(jnp.asarray(syms), framebits,
+                                interpret=True)
+        expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+        assert np.array_equal(np.asarray(out), expect), framebits
