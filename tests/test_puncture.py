@@ -101,3 +101,36 @@ def test_native_depuncture_matches_numpy():
     got = native.depuncture(received, mask.astype(np.uint8), mask.size,
                             fill=P.NEUTRAL_SOFT)
     assert (np.asarray(got) == want).all()
+
+
+def test_uep_row_constructor_validates():
+    """uep_profile_from_row: a structurally valid user-supplied table
+    31 row builds a working Profile; every admissible self-check
+    rejects a mistranscribed row (README "Known exclusions")."""
+    # synthetic four-segment row for 32 kbit/s: I = 768 = 32 * 24 blocks
+    row = ((5, 12), (8, 8), (7, 6), (4, 10))
+    p = P.uep_profile_from_row(32, 3, row)
+    assert p.data_bits == 768
+    mask = p.mask()
+    assert mask.size == 4 * 768 + 24
+    # the CU cross-check accepts the true size and rejects others
+    tx = p.transmitted_bits - 12          # tail keeps 12 of 24
+    assert p.transmitted_bits == int(mask.sum())
+    if p.transmitted_bits % 64 == 0:
+        P.uep_profile_from_row(32, 3, row, cu_size=p.transmitted_bits // 64)
+    with pytest.raises(ValueError, match="mistranscribed"):
+        P.uep_profile_from_row(32, 3, row, cu_size=1 + p.transmitted_bits // 64)
+    # wrong coverage, bad PI, bad length
+    with pytest.raises(ValueError, match="sum"):
+        P.uep_profile_from_row(32, 3, ((5, 12), (8, 8), (7, 6), (5, 10)))
+    with pytest.raises(ValueError, match="PI"):
+        P.uep_profile_from_row(32, 3, ((5, 25), (8, 8), (7, 6), (4, 10)))
+    with pytest.raises(ValueError, match="length"):
+        P.uep_profile_from_row(32, 3, ((0, 12), (13, 8), (7, 6), (4, 10)))
+    # and the profile actually puncture/depuncture round-trips
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 768, dtype=np.uint8)
+    soft = golden.hard_to_soft(golden.encode(bits))
+    rx = P.puncture(soft, mask)
+    full = P.depuncture(rx, mask)
+    assert np.array_equal(golden.deconvolve(768, full), np.packbits(bits))

@@ -24,6 +24,26 @@ def test_capture_then_replay(tmp_path, monkeypatch):
     assert n_total == 2 and n_ok == 2, report
 
 
+def test_committed_corpus_replays_bit_exactly(tmp_path, monkeypatch):
+    """The committed capture corpus (tests/data/corpus, harvested by
+    scripts/make_corpus.py through the public API with symbol capture
+    on) must replay bit-exactly against its recorded expectations —
+    the reference's VIT_WRITE_SYMBOLS fixture loop (viterbi.h:73-80,
+    SURVEY.md §4.4) as a CI regression gate."""
+    import os
+
+    monkeypatch.setenv("VITERBI_TPU_CONFIG", str(tmp_path / "cfg.txt"))
+    viterbi_tpu.initialize()
+    corpus = os.path.join(os.path.dirname(__file__), "data", "corpus")
+    from viterbi_tpu.harness import replay
+    n_ok, n_total, report = replay.replay_corpus(corpus)
+    bad = [r for r in report if not r[2]]
+    # 5 bitrates x 2 frames + 3 superframe cases
+    assert n_total == 13 and not bad, bad
+    kinds = {r[1] for r in report}
+    assert kinds == {"deco", "rscs"}
+
+
 def test_summary_on_disable(tmp_path, monkeypatch):
     """Disabling logging appends the unload-style summary
     (dllmain.cpp:325-357 analog): call counts, durations, min/max

@@ -77,10 +77,31 @@ def get_caps() -> int:
     return dispatch.get_caps()
 
 
-def wake_up(framebits: int = 3072, batch: int = 1) -> None:
-    """Pre-compile the decode path for a call shape — the analog of
-    WakeUpYMM's pre-warming of cold SIMD stages (dllmain.cpp:45-56);
-    here the cold stage is XLA compilation."""
+#: Standard DAB audio bitrate ladder (kbit/s) pre-warmed by
+#: ``wake_up(ladder=True)`` — the shapes a channel-hopping receiver hits.
+DAB_LADDER_KBPS = (8, 32, 64, 96, 128, 192, 384)
+
+
+def wake_up(framebits: int = 3072, batch: int = 1,
+            ladder=False) -> None:
+    """Pre-compile the decode path — the analog of WakeUpYMM's
+    pre-warming of cold SIMD stages (dllmain.cpp:45-56); here the cold
+    stage is XLA compilation.
+
+    ``ladder=True`` warms every DAB bitrate in ``DAB_LADDER_KBPS`` at
+    the given batch (a real receiver hops subchannels, and each new
+    (framebits, batch) shape otherwise pays its compile on the first
+    live frame); an iterable of kbit/s rates warms exactly those.
+    Compiles also persist across restarts via the compile cache
+    (config key ``compile_cache``)."""
+    if ladder:
+        rates = DAB_LADDER_KBPS if ladder is True else tuple(ladder)
+        for kbps in rates:
+            fb = 24 * int(kbps)
+            syms = np.zeros((batch, C.RATE * (fb + C.TAIL_BITS)),
+                            dtype=np.int32)
+            _decode_batch(syms, fb)
+        return
     syms = np.zeros((batch, C.RATE * (framebits + C.TAIL_BITS)),
                     dtype=np.int32)
     _decode_batch(syms, framebits)

@@ -53,3 +53,52 @@ def replay(capture_dir: str, against_golden: bool = True):
         n_ok += ok
         results.append((os.path.basename(path), framebits, ok))
     return n_ok, n_total, results
+
+
+def replay_corpus(corpus_dir: str):
+    """Replay a committed capture corpus against its recorded outputs.
+
+    The corpus layout extends the capture-dir layout with expectation
+    files (the reference's VIT_WRITE_SYMBOLS fixtures are exactly this:
+    harvested traffic replayed against known-good decodes):
+
+      * ``<name>_deco.npy``        uint8 soft symbols, one frame
+        ``<name>_deco.expect.npy`` uint8 packed decode output
+      * ``<name>_rscs.npy``        uint8 interleaved superframe bytes
+        ``<name>_rscs.expect.npz`` ``errors`` (int), ``out`` (uint8
+        corrected data bytes), ``rs_dims``
+
+    Every capture is re-decoded through the live dispatch path and
+    compared bit-exactly to the committed expectation. Returns
+    (n_ok, n_total, [(file, kind, ok), ...]).
+    """
+    results = []
+    n_ok = 0
+    n_total = 0
+    for path, kind, data in iter_captures(corpus_dir):
+        if kind.endswith(".expect") or kind.startswith("deco.") \
+                or kind.startswith("rscs."):
+            continue
+        base = path.removesuffix(".npy")
+        n_total += 1
+        if kind == "deco":
+            expect = np.load(base + ".expect.npy")
+            framebits = infer_framebits(data)
+            ret, out = api.deconvolve_batch(framebits,
+                                            data.astype(np.int32)[None])
+            ok = ret == 0 and bool(np.array_equal(out[0], expect))
+        elif kind == "rscs":
+            ex = np.load(base + ".expect.npz")
+            rs_dims = int(ex["rs_dims"])
+            assert data.size == rs_dims * C.RS_N
+            outbuf = np.zeros(rs_dims * C.RS_KK, dtype=np.uint8)
+            errors = api.rs_check_superframe(data.astype(np.int32), 0,
+                                             rs_dims, outbuf)
+            ok = errors == int(ex["errors"])
+            if ok and errors != -1:
+                ok = bool(np.array_equal(outbuf, ex["out"]))
+        else:
+            ok = False
+        n_ok += ok
+        results.append((os.path.basename(path), kind, bool(ok)))
+    return n_ok, n_total, results

@@ -145,6 +145,53 @@ def eep_profile(bitrate_kbps: int, level: int, profile: str = "A") -> Profile:
     return Profile(f"EEP {level}-{profile} @{bitrate_kbps}", segs)
 
 
+def uep_profile_from_row(bitrate_kbps: int, protection_level: int,
+                         segments, cu_size: int | None = None) -> Profile:
+    """Build a UEP profile from a transcribed EN 300 401 table 31 row.
+
+    UEP (classic DAB audio) rows are four/five-segment
+    ``((L_1, PI_1), ..., (L_n, PI_n))`` entries in 128-bit blocks. The
+    64-row table itself is NOT vendored in this framework (README
+    "Known exclusions": no offline source to pin a transcription
+    against); this constructor instead validates a caller-supplied row
+    with every self-check the standard's structure admits:
+
+      * every segment length positive, every PI in 1..24,
+      * the row covers exactly one logical frame:
+        ``sum(L_j) * 128 == 4 * I`` with ``I = 24 * bitrate`` (so the
+        mask, with the 24 tail bits, is exactly ``4*I + 24`` long),
+      * optionally, ``cu_size`` (the sub-channel size in capacity
+        units from EN 300 401 table 7) cross-checks the transmitted
+        bit count: ``mask.sum() == 64 * cu_size`` — a transcription
+        error in any PI or L is caught by this equality.
+
+    Provenance marking: the profile name records bitrate/level and that
+    the row was user-supplied.
+    """
+    segments = tuple((int(l), int(pi)) for l, pi in segments)
+    if not segments:
+        raise ValueError("UEP row needs at least one segment")
+    for l, pi in segments:
+        if l <= 0:
+            raise ValueError(f"non-positive segment length {l}")
+        if not 1 <= pi <= 24:
+            raise ValueError(f"PI {pi} outside 1..24")
+    framebits = 24 * bitrate_kbps
+    covered = 32 * sum(l for l, _ in segments)
+    if covered != framebits:
+        raise ValueError(
+            f"row covers {covered} data bits, frame has {framebits} "
+            f"(sum(L)*128 must equal 4*I)")
+    p = Profile(f"UEP L{protection_level} @{bitrate_kbps} (user row)",
+                segments)
+    assert p.mask().size == C.RATE * framebits + 24
+    if cu_size is not None and p.transmitted_bits != 64 * cu_size:
+        raise ValueError(
+            f"row transmits {p.transmitted_bits} bits but table 7 says "
+            f"{64 * cu_size} (CU {cu_size}); a PI or L is mistranscribed")
+    return p
+
+
 #: Exact code rate (data bits / transmitted bits) per EEP profile.
 EEP_RATES = {
     ("A", 1): (1, 4), ("A", 2): (3, 8), ("A", 3): (1, 2), ("A", 4): (3, 4),

@@ -40,6 +40,9 @@ a:0
 # log_symbols=0
 # interpret=0   (run Pallas kernels in interpreter mode on non-TPU
 #                backends — enables variants 2/3 under CPU CI)
+# compile_cache=1  (persist XLA compilations across processes so a
+#                   receiver restart skips recompilation; set 0 to
+#                   disable or a path to relocate the cache)
 """
 
 
@@ -52,6 +55,12 @@ def default_path() -> str:
     return os.path.join(base, "viterbi_tpu", "viterbi.txt")
 
 
+def default_compile_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "viterbi_tpu", "xla")
+
+
 @dataclass
 class Config:
     variant_override: int = -1     # -1 = automatic
@@ -60,6 +69,8 @@ class Config:
     log_calls: bool = False
     log_symbols: bool = False
     interpret: bool = False        # Pallas interpreter mode off-TPU
+    # persistent XLA compilation cache: "" disables, otherwise a dir
+    compile_cache: str = field(default_factory=default_compile_cache_dir)
     path: str = field(default_factory=default_path)
 
 
@@ -104,6 +115,13 @@ def load(path: str | None = None) -> Config:
             cfg.log_symbols = val not in ("0", "false", "")
         elif key == "interpret":
             cfg.interpret = val not in ("0", "false", "")
+        elif key == "compile_cache":
+            if val in ("0", "false", ""):
+                cfg.compile_cache = ""
+            elif val == "1":
+                cfg.compile_cache = default_compile_cache_dir()
+            else:
+                cfg.compile_cache = val
     return cfg
 
 

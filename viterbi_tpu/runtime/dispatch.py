@@ -109,11 +109,31 @@ def state() -> DispatchState:
     return _STATE
 
 
+def _apply_compile_cache(cfg: config_mod.Config) -> None:
+    """Enable JAX's persistent compilation cache (config key
+    ``compile_cache``) unless the process already configured one — the
+    cross-restart half of WakeUpYMM's job: a receiver restart re-hits
+    every compiled decode shape instead of re-paying multi-second XLA
+    compiles."""
+    if not cfg.compile_cache:
+        return
+    try:
+        import os
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # user/process already chose a cache; keep it
+        os.makedirs(cfg.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache)
+    except Exception:
+        pass  # cache is an optimization; never fail setup over it
+
+
 def setup(config_path: str | None = None) -> DispatchState:
     """(Re)configure the dispatcher: probe caps, read config, pick the
     variant. Analog of SetupDLL + SetupCpuDispatcher (setupdll.cpp:57-270).
     """
     cfg = config_mod.load(config_path)
+    _apply_compile_cache(cfg)
     caps = get_caps(interpret=cfg.interpret)
     best = _best_variant(caps)
     variant = best
