@@ -1,0 +1,124 @@
+"""Per-call decode LATENCY on the real chip (VERDICT r3 missing #3).
+
+Every other artifact measures throughput at large batch; the reference
+is a latency-sensitive per-frame DLL called many times per second
+(README.md:7) and a DAB receiver has a 24 ms logical-frame budget.
+This records device-resident p50/p99 per-call latency of the Pallas
+fast path at B in {1, 16, 256} x bitrates {32, 128, 384} kbit/s, plus
+the chained DAB+ audio superframe pipeline (5 frames -> RS; 120 ms
+budget per superframe), and the headroom vs the real-time budget.
+
+Each timed call is individually synchronized (submit -> fetch), so the
+number includes one host->device dispatch + one device->host fetch of
+the packed output — the shape of a live per-frame call. On this
+environment the dispatch crosses the axon tunnel (~0.5-1 ms, measured
+and reported as dispatch_floor_ms); on a directly-attached chip that
+floor is tens of microseconds.
+
+Writes LATENCY_TPU.json. Usage: python scripts/latency_bench.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from benchutil import setup_jax_cache
+
+
+def percentiles(fn, args, iters):
+    """Per-call latencies (s), each call synchronized by a host fetch."""
+    lat = np.empty(iters)
+    np.asarray(fn(*args))                       # compile
+    for _ in range(10):
+        np.asarray(fn(*args))                   # warm
+    for i in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        lat[i] = time.perf_counter() - t0
+    return lat
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--out", type=str, default="LATENCY_TPU.json")
+    args = ap.parse_args()
+
+    jax = setup_jax_cache()
+    import jax.numpy as jnp
+    from viterbi_tpu import constants as C
+    from viterbi_tpu.models import dab
+    from viterbi_tpu.ops import acs_pallas
+
+    assert jax.devices()[0].platform == "tpu"
+    rng = np.random.default_rng(0)
+
+    # dispatch floor: round-trip of a trivial jitted op
+    tiny = jax.jit(lambda x: x + 1)
+    floor = percentiles(tiny, (jnp.zeros((8, 128), jnp.int32),),
+                        args.iters)
+
+    rows = []
+    for kbps in (32, 128, 384):
+        fb = 24 * kbps
+        nsteps = fb + C.TAIL_BITS
+        for B in (1, 16, 256):
+            syms = jnp.asarray(rng.integers(
+                0, 256, (B, C.RATE * nsteps), dtype=np.int64)
+                .astype(np.int32))
+            fn = jax.jit(lambda s, fb=fb: acs_pallas.decode(s, fb))
+            lat = percentiles(fn, (syms,), args.iters)
+            p50, p99 = np.percentile(lat, [50, 99])
+            # real-time headroom: B frames of 24 ms arrive every B*24 ms
+            rows.append(dict(kbps=kbps, framebits=fb, batch=B,
+                             p50_ms=round(p50 * 1e3, 3),
+                             p99_ms=round(p99 * 1e3, 3),
+                             budget_ms=24.0 * B,
+                             realtime_headroom_p99=round(
+                                 24e-3 * B / p99, 1)))
+            print(rows[-1], flush=True)
+
+    # chained superframe pipeline (5 logical frames + RS): 120 ms budget
+    sf_rows = []
+    kbps = 96
+    fb = 24 * kbps
+    for B in (1, 16):
+        sf = jnp.asarray(rng.integers(
+            0, 256, (B, 5, C.RATE * (fb + C.TAIL_BITS)), dtype=np.int64)
+            .astype(np.int32))
+        fn = jax.jit(lambda s: dab.decode_audio_superframes(
+            s, kbps, use_pallas=True))
+        lat = percentiles(fn, (sf,), args.iters)
+        p50, p99 = np.percentile(lat, [50, 99])
+        sf_rows.append(dict(kbps=kbps, batch=B,
+                            p50_ms=round(p50 * 1e3, 3),
+                            p99_ms=round(p99 * 1e3, 3),
+                            budget_ms=120.0 * B,
+                            realtime_headroom_p99=round(
+                                120e-3 * B / p99, 1)))
+        print(sf_rows[-1], flush=True)
+
+    doc = dict(
+        iters=args.iters,
+        dispatch_floor_ms=dict(
+            p50=round(float(np.percentile(floor, 50)) * 1e3, 3),
+            p99=round(float(np.percentile(floor, 99)) * 1e3, 3)),
+        deconvolve=rows, superframe_chain=sf_rows,
+        note=("per-call submit+fetch latency, device-resident symbols; "
+              "includes one tunnel round-trip (dispatch_floor_ms) that "
+              "a directly-attached chip would not pay. "
+              "realtime_headroom_p99 = arrival period / p99: how many "
+              "such subchannels one chip could decode at p99 latency."))
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

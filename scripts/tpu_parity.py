@@ -178,6 +178,92 @@ def main():
            f"{kbps}kbps",
            mismatch_frames=int((out != expect).any(axis=1).sum()))
 
+    # ------------- checkpoint-layout classes (compiled Mosaic) -------
+    # Every decode() layout class that previously ran on TPU only for
+    # DAB-shaped framebits (VERDICT r3 missing #2): non-CG natural-ckpt
+    # kernel (8 -> nsteps 14, 64 -> 70, 224 -> 230), front-pad reset
+    # boundary (96 -> 102, 168 -> 174), natural CG ckpt (744 -> 750).
+    # Interpret mode proved insufficient for exactly this class of
+    # kernel (the round-3 tie-break bug).
+    lay_cells = []
+    lay_bad = 0
+    rngl = np.random.default_rng(55)
+    for framebits in (8, 64, 96, 168, 224, 744):
+        n = 8 if args.quick else 32
+        nsteps = framebits + C.TAIL_BITS
+        syms = rngl.integers(0, 256, (n, 4 * nsteps),
+                             dtype=np.int64).astype(np.int32)
+        expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+        out = np.asarray(acs_pallas.decode(jnp.asarray(syms), framebits))
+        bad = int((out != expect).any(axis=1).sum())
+        lay_bad += bad
+        lay_cells.append(dict(framebits=framebits, frames=n,
+                              mismatch_frames=bad))
+        print(f"  layout fb={framebits}: {bad}/{n} mismatch", flush=True)
+    record("layout_classes", cells=lay_cells, mismatch_frames=lay_bad,
+           note="non-CG kernel, front-pad boundary, odd natural ckpt — "
+                "compiled on chip, vs golden")
+
+    # ---------------- packed 'bt' ingestion (compiled) ----------------
+    pk_bad = 0
+    pk_frames = 0
+    for kbps in (32, 128):
+        framebits = 24 * kbps
+        n = 8 if args.quick else 32
+        _, syms = channel.make_frames(n, framebits, seed=300 + kbps)
+        syms = syms.astype(np.int32)
+        expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+        packed = acs_pallas.pack_symbols_host(syms)
+        out = np.asarray(acs_pallas.decode(jnp.asarray(packed), framebits,
+                                           packed="bt"))
+        pk_bad += int((out != expect).any(axis=1).sum())
+        pk_frames += n
+    record("packed_bt", frames=pk_frames, mismatch_frames=pk_bad,
+           note="host-packed 1-byte/symbol bt layout (the bench.py "
+                "ingest path), compiled, vs golden")
+
+    # ------- chained DAB+ superframe pipeline vs golden composition ----
+    kbps = 96
+    cfgB = 2 if args.quick else 8
+    fb = 24 * kbps
+    rs_dims = kbps // 8
+    rngs = np.random.default_rng(400)
+    audio_in = rngs.integers(0, 256, (cfgB, rs_dims, C.RS_KK),
+                             dtype=np.uint8)
+    sf_syms = np.empty((cfgB, 5, C.RATE * (fb + C.TAIL_BITS)),
+                       dtype=np.int32)
+    g_audio = np.empty((cfgB, rs_dims * C.RS_KK), dtype=np.uint8)
+    g_errors = np.empty(cfgB, dtype=np.int64)
+    for b in range(cfgB):
+        cws = np.stack([golden.rs_encode_codeword(m)
+                        for m in audio_in[b]]).astype(np.int64)
+        errs = rngs.integers(0, 5, rs_dims)
+        for i, e in enumerate(errs):
+            if e:
+                pos = rngs.choice(C.RS_N, e, replace=False)
+                cws[i, pos] ^= rngs.integers(1, 256, e)
+        sf_bytes = cws.T.reshape(-1).astype(np.uint8)   # interleaved
+        frame_bits = np.unpackbits(sf_bytes).reshape(5, fb)
+        for f in range(5):
+            hard = golden.encode(frame_bits[f])
+            sf_syms[b, f] = channel.awgn_soft_symbols(hard, rngs)
+        # golden composition: per-frame deconvolve -> superframe -> RS
+        dec_bytes = np.concatenate(
+            [golden.deconvolve(fb, sf_syms[b, f]) for f in range(5)])
+        g_errors[b], g_out = golden.rs_check_superframe(dec_bytes, rs_dims)
+        g_audio[b] = g_out
+    audio, errors = dab.decode_audio_superframes(
+        jnp.asarray(sf_syms), kbps, use_pallas=True)
+    audio, errors = np.asarray(audio), np.asarray(errors)
+    sf_mm = int((errors != g_errors).sum())
+    sf_mm += sum(int(not np.array_equal(audio[b], g_audio[b]))
+                 for b in range(cfgB) if g_errors[b] != -1)
+    record("superframe_chain", superframes=cfgB, kbps=kbps,
+           rs_dims=rs_dims, mismatch_superframes=sf_mm,
+           note="jittable deconvolve->RS chain (models/dab.py) vs the "
+                "golden per-frame composition, noisy 3 dB frames + "
+                "injected RS byte errors")
+
     # ---------------- single-chip Pallas streaming (compiled) --------
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
     stream_bits = 6144
@@ -191,6 +277,28 @@ def main():
                                              use_pallas=True))
     record("streaming_1chip", frames=n, stream_bits=stream_bits,
            mismatch_frames=int((out != expect).any(axis=1).sum()))
+
+    # ---- jax_scan small-frame cost breakdown (VERDICT r3 weak #7) ----
+    # The round-3 sweep's 132.8 s jax_scan/8kbps cell was the FIRST cell
+    # of the whole run (cold tunnel + first XLA compile). Disambiguate:
+    # time the same shape warm (compiled above), and a fresh small shape
+    # (16 kbit/s) whose compile happens mid-process.
+    n8 = 8 if args.quick else 64           # batch must match the sweep's
+    bits16, syms16 = channel.make_frames(n8, 384, seed=161)
+    t0 = time.time()
+    out16 = decode_variant("jax_scan", syms16.astype(np.int32), 384)
+    t_fresh = time.time() - t0
+    _, syms8 = channel.make_frames(n8, 192, seed=8)
+    t0 = time.time()
+    decode_variant("jax_scan", syms8.astype(np.int32), 192)
+    t_warm = time.time() - t0
+    ok16 = int((out16 != np.stack([golden.deconvolve(384, s)
+                                   for s in syms16.astype(np.int32)]))
+               .any(axis=1).sum())
+    record("jax_scan_small_frames", fresh_shape_compile_s=round(t_fresh, 1),
+           warm_same_shape_s=round(t_warm, 2), mismatch_frames=ok16,
+           note="r3's 132.8 s cell was cold-start, not a scan blowup, "
+                "if fresh_shape_compile_s is small")
 
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
