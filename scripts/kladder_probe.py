@@ -30,6 +30,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--only", type=int, default=None,
+                    help="probe a single framebits value")
+    ap.add_argument("--overhead", action="store_true",
+                    help="fit t(B) = c_fixed + B*c per framebits to "
+                         "attribute the sag to per-call overhead")
     args = ap.parse_args()
 
     jax = setup_jax_cache()
@@ -51,7 +56,7 @@ def main():
         2304: [(18, 24, 24),     # current: 97 chunks (prime blocks)
                (30, 18, 180),    # 2340: 13 chunks
                (42, 24, 168),    # 2352: 14 chunks
-               (42, 24, 84)],    # 2352: 28 chunks
+               (42, 24, 48)],    # 2352: 49 chunks
         4608: [(18, 24, 24),     # current: 193 chunks (prime blocks)
                (66, 18, 180),    # 4680: 26 chunks
                (90, 24, 168),    # 4704: 28 chunks
@@ -75,7 +80,38 @@ def main():
         out = np.asarray(jax.jit(decode)(small))[:4]
         return f, out
 
+    if args.overhead:
+        # Attribute: is the small-frame sag per-CALL overhead (fixed
+        # cost per dispatched program) rather than per-step kernel
+        # inefficiency? Fit t(B) = c_fixed + B*c at each framebits on
+        # the CURRENT decode() layout, B in {4096, 8192, 16384, 32768}.
+        for fb in (768, 3072, 9216):
+            nsteps = fb + C.TAIL_BITS
+            pts = []
+            for Bx in (4096, 8192, 16384, 32768):
+                raw = rng.integers(0, 256, (Bx, C.RATE * nsteps),
+                                   dtype=np.int64).astype(np.int32)
+                syms = jnp.asarray(ap_.pack_symbols_host(raw))
+                f = jax.jit(lambda s, fb=fb: ap_.decode(
+                    s, fb, packed="bt")[:128])
+                dt = min(timeit(f, syms, iters=max(5, it // 3),
+                                warmup=3) for _ in range(3))
+                pts.append((Bx, dt))
+                print(f"fb={fb:5d} B={Bx:6d}: {dt * 1e3:8.3f} ms  "
+                      f"{Bx * C.RATE * nsteps / dt / 1e9:6.2f} Gsym/s",
+                      flush=True)
+            # least-squares fit over the measured points
+            Bs = np.array([p[0] for p in pts], dtype=float)
+            ts = np.array([p[1] for p in pts])
+            c, c_fixed = np.polyfit(Bs, ts, 1)
+            print(f"fb={fb:5d}: c_fixed={c_fixed * 1e3:.3f} ms, "
+                  f"per-frame={c * 1e6:.3f} us, asymptotic "
+                  f"{C.RATE * nsteps / c / 1e9:.2f} Gsym/s", flush=True)
+        return
+
     for fb, cands in CAND.items():
+        if args.only and fb != args.only:
+            continue
         nsteps = fb + C.TAIL_BITS
         raw = rng.integers(0, 256, (B, C.RATE * nsteps),
                            dtype=np.int64).astype(np.int32)

@@ -221,6 +221,45 @@ def _choose_time_chunk(nsteps: int, ckpt: int, target: int = 200) -> int:
     return best * ckpt
 
 
+def choose_layout(nsteps: int) -> tuple[int, int, int]:
+    """Jointly choose (front_pad, ckpt, time_chunk) for a CG-eligible
+    trellis (6 | nsteps).
+
+    Shapes whose nsteps/ckpt block count is prime force the time chunk
+    down to a single checkpoint (e.g. 774/18 = 43 grid chunks, 2328/24
+    = 97, 4632/24 = 193), paying the grid's per-chunk overhead once per
+    checkpoint; a few more dead front-pad steps buy a layout with large
+    chunks and a short walk. Cost model calibrated on-chip (round 4,
+    scripts/kladder_probe.py): per-chunk overhead ~2 trellis steps,
+    per-checkpoint walk cost ~1.7 steps; measured wins +4-6% at
+    framebits 768/2304/4608 (see docs/KERNELS.md). The natural no-pad
+    layout is kept when it is within 1.5% of the best candidate (e.g.
+    framebits 3072, where the model's preference is below noise).
+    """
+    pad_cap = max(18, int(0.02 * nsteps))
+    best = None          # (cost, pad, ckpt, chunk)
+    natural = None       # best pad == 0 option
+    for pad in range(0, pad_cap + 1, 6):
+        np_ = nsteps + pad
+        for ckpt in (24, 18):
+            if np_ % ckpt:
+                continue
+            chunk = _choose_time_chunk(np_, ckpt)
+            cost = np_ + 2.0 * (np_ // chunk) + 1.7 * (np_ // ckpt)
+            cand = (cost, pad, ckpt, chunk)
+            if best is None or cost < best[0]:
+                best = cand
+            if pad == 0 and (natural is None or cost < natural[0]):
+                natural = cand
+    if best is None:
+        # no 18/24 divisor within the pad budget: natural ckpt, no pad
+        ckpt = choose_ckpt(nsteps)
+        return 0, ckpt, _choose_time_chunk(nsteps, ckpt)
+    if natural is not None and natural[0] <= best[0] * 1.015:
+        best = natural
+    return best[1], best[2], best[3]
+
+
 def _kernel_regs_cg(time_chunk: int, ckpt: int, mdt, packed, reset_at,
                     sym_ref, init_ref, reg_ref, met_ref, metrics, regs):
     """Constant-geometry register-exchange ACS.
@@ -891,11 +930,13 @@ def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     with a consistent checkpoint period. [B, 4*(framebits+6)] int32 ->
     uint8[B, framebits//8].
 
-    When nsteps has no checkpoint divisor >= 18 (e.g. framebits 1536 /
-    4608 / 9216, where nsteps/6 is prime), the trellis is front-padded
-    to a multiple of 24 (<= 18 dead steps, ~1%) so every DAB bitrate
-    runs the cheap ckpt=24 layout instead of the 4x-checkpoint ckpt=6
-    fallback (measured in LADDER_TPU.json)."""
+    The trellis layout (front_pad, ckpt, time_chunk) is chosen jointly
+    by ``choose_layout``: a few dead front-pad steps (<= ~2%) buy every
+    CG-eligible shape a ckpt >= 18 checkpoint period AND a large time
+    chunk — shapes with prime nsteps/ckpt otherwise degrade to
+    one-checkpoint grid chunks (round-4 measurement: +4-6% at framebits
+    768/2304/4608; round-3: up to +32% vs the ckpt-6 fallback at
+    1536/4608/9216 — docs/KERNELS.md)."""
     from . import traceback as tb
     nsteps = framebits + C.TAIL_BITS
     interpret = kw.get("interpret", False)
@@ -905,12 +946,12 @@ def decode(symbols: jax.Array, framebits: int, **kw) -> jax.Array:
     # padding requires window-aligned boundaries (reset lands at a
     # 6-step window start), so only nsteps % 6 == 0 qualifies — other
     # framebits (e.g. 64 -> nsteps 70) keep their natural ckpt and the
-    # non-CG kernel.  An explicitly requested ckpt is honored as-is
-    # (no silent front-pad override).
-    if (not explicit_ckpt and ckpt < 18 and nsteps % 6 == 0
-            and "geom" not in kw and kw.get("mxu", True)):
-        pad = (-nsteps) % 24
-        ckpt = 24
+    # non-CG kernel.  An explicitly requested ckpt/time_chunk is
+    # honored as-is (no silent layout override).
+    if (not explicit_ckpt and nsteps % 6 == 0 and "geom" not in kw
+            and kw.get("mxu", True) and "time_chunk" not in kw):
+        pad, ckpt, chunk = choose_layout(nsteps)
+        kw["time_chunk"] = chunk
     regs, _ = forward_regs(symbols, nsteps, ckpt=ckpt, front_pad=pad,
                            **kw)
     return tb.chainback_regs_pallas(regs, framebits, ckpt=ckpt,
