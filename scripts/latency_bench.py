@@ -11,9 +11,10 @@ budget per superframe), and the headroom vs the real-time budget.
 Each timed call is individually synchronized (submit -> fetch), so the
 number includes one host->device dispatch + one device->host fetch of
 the packed output — the shape of a live per-frame call. On this
-environment the dispatch crosses the axon tunnel (~0.5-1 ms, measured
-and reported as dispatch_floor_ms); on a directly-attached chip that
-floor is tens of microseconds.
+environment that round-trip crosses the axon tunnel (~25 ms, measured
+and reported as dispatch_floor_ms — even a trivial op pays it); on a
+directly-attached chip the floor is tens of microseconds, so
+net_of_floor_p50_ms is the production-relevant decode latency.
 
 Writes LATENCY_TPU.json. Usage: python scripts/latency_bench.py
 """
@@ -63,6 +64,8 @@ def main():
     tiny = jax.jit(lambda x: x + 1)
     floor = percentiles(tiny, (jnp.zeros((8, 128), jnp.int32),),
                         args.iters)
+    floor_p50 = float(np.percentile(floor, 50))
+    print(f"dispatch floor p50: {floor_p50 * 1e3:.3f} ms", flush=True)
 
     rows = []
     for kbps in (32, 128, 384):
@@ -74,11 +77,13 @@ def main():
                 .astype(np.int32))
             fn = jax.jit(lambda s, fb=fb: acs_pallas.decode(s, fb))
             lat = percentiles(fn, (syms,), args.iters)
-            p50, p99 = np.percentile(lat, [50, 99])
+            p50, p99 = (float(x) for x in np.percentile(lat, [50, 99]))
             # real-time headroom: B frames of 24 ms arrive every B*24 ms
             rows.append(dict(kbps=kbps, framebits=fb, batch=B,
                              p50_ms=round(p50 * 1e3, 3),
                              p99_ms=round(p99 * 1e3, 3),
+                             net_of_floor_p50_ms=round(
+                                 (p50 - floor_p50) * 1e3, 3),
                              budget_ms=24.0 * B,
                              realtime_headroom_p99=round(
                                  24e-3 * B / p99, 1)))
@@ -93,12 +98,14 @@ def main():
             0, 256, (B, 5, C.RATE * (fb + C.TAIL_BITS)), dtype=np.int64)
             .astype(np.int32))
         fn = jax.jit(lambda s: dab.decode_audio_superframes(
-            s, kbps, use_pallas=True))
+            s, kbps, use_pallas=True)[0])
         lat = percentiles(fn, (sf,), args.iters)
-        p50, p99 = np.percentile(lat, [50, 99])
+        p50, p99 = (float(x) for x in np.percentile(lat, [50, 99]))
         sf_rows.append(dict(kbps=kbps, batch=B,
                             p50_ms=round(p50 * 1e3, 3),
                             p99_ms=round(p99 * 1e3, 3),
+                            net_of_floor_p50_ms=round(
+                                (p50 - floor_p50) * 1e3, 3),
                             budget_ms=120.0 * B,
                             realtime_headroom_p99=round(
                                 120e-3 * B / p99, 1)))
@@ -111,10 +118,14 @@ def main():
             p99=round(float(np.percentile(floor, 99)) * 1e3, 3)),
         deconvolve=rows, superframe_chain=sf_rows,
         note=("per-call submit+fetch latency, device-resident symbols; "
-              "includes one tunnel round-trip (dispatch_floor_ms) that "
-              "a directly-attached chip would not pay. "
-              "realtime_headroom_p99 = arrival period / p99: how many "
-              "such subchannels one chip could decode at p99 latency."))
+              "EVERY cell sits on the tunnel round-trip floor "
+              "(dispatch_floor_ms p50, a trivial-op round-trip costs "
+              "the same ~25 ms) that a directly-attached chip would "
+              "not pay — net_of_floor_p50_ms is the decode-attributable "
+              "part and is what a production host would observe (sub-ms "
+              "to a few ms, far inside the 24 ms DAB frame budget). "
+              "realtime_headroom_p99 = arrival period / p99 as measured "
+              "through the tunnel, the pessimistic bound."))
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {args.out}")
