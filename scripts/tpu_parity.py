@@ -222,6 +222,31 @@ def main():
            note="host-packed 1-byte/symbol bt layout (the bench.py "
                 "ingest path), compiled, vs golden")
 
+    # ----------- large-batch fallback variants (regression) -----------
+    # Round 4 found this backend deterministically MISCOMPILES the fused
+    # 4D flip+transpose in the old chainback_blocked for B > 64 (and the
+    # materialized predecessor maps hit HBM capacity at 9216x4096);
+    # traceback.py now uses reverse scans over packed decision words.
+    # Lock both fixes with compiled large-batch cells.
+    lb_bad = 0
+    for fb_lb, B_lb in ((3072, 1024), (9216, 512)):
+        rng_lb = np.random.default_rng(fb_lb)
+        syms = rng_lb.integers(0, 256, (B_lb, 4 * (fb_lb + 6)),
+                               dtype=np.int64).astype(np.int32)
+        expect = np.stack([golden.deconvolve(fb_lb, s) for s in syms[:4]])
+        dec, _ = acs_pallas.forward(jnp.asarray(syms), fb_lb + 6)
+        out = np.asarray(tb.chainback_blocked(dec, fb_lb, block=64))
+        lb_bad += int(not np.array_equal(out[:4], expect))
+        dec2, _ = acs.forward(jnp.asarray(syms[:B_lb // 2]), fb_lb + 6)
+        out2 = np.asarray(tb.chainback_blocked(dec2, fb_lb, block=64))
+        lb_bad += int(not np.array_equal(out2[:4], expect))
+        print(f"  large-batch fb={fb_lb} B={B_lb}: "
+              f"{'ok' if lb_bad == 0 else 'MISMATCH'}", flush=True)
+    record("large_batch_blocked", mismatch_cells=lb_bad,
+           note="pallas/jax decisions + blocked traceback at B in "
+                "{512..1024} — guards the round-4 flip+transpose "
+                "miscompile fix and the lazy-map memory fix")
+
     # ------- chained DAB+ superframe pipeline vs golden composition ----
     kbps = 96
     cfgB = 2 if args.quick else 8

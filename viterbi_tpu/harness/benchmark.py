@@ -113,8 +113,11 @@ def device_speed_test(variant: int, loops: int = 30, batch: int | None = None,
                  if framebits % b == 0)
     interpret = not on_tpu
     if batch is None:
-        batch = 4096 if on_tpu else (8 if interpret and "pallas" in name
-                                     else 64)
+        # 256 matches the API-path report batch and keeps the pure-JAX
+        # variants' traceback working sets bounded (chainback_blocked
+        # materializes [T, B, 64] predecessor maps — ~3 GB at B=4096)
+        batch = 256 if on_tpu else (8 if interpret and "pallas" in name
+                                    else 64)
     nsteps = framebits + C.TAIL_BITS
     rng = np.random.default_rng(0)
     syms = jnp.asarray(rng.integers(0, 256, (batch, C.RATE * nsteps),
@@ -259,8 +262,14 @@ def main(argv=None):
         if on_tpu:
             # the tuner's decision input: device-resident steady state
             # (API-path times are transfer-bound over the tunnel and
-            # can't separate the variants)
-            rate = device_speed_test(v, loops=max(10, min(loops, 50)))
+            # can't separate the variants). A variant that fails here
+            # simply loses the tune (rate 0) — it must not abort the
+            # whole harness.
+            try:
+                rate = device_speed_test(v, loops=max(10, min(loops, 50)))
+            except Exception as e:
+                rate = 0.0
+                vrec["device_error"] = repr(e)[:200]
             device_rates[name] = rate
             vrec["device_gsym_s"] = round(rate / 1e9, 3)
             print(f"device-resident: {rate / 1e9:6.2f} Gsym/s")
@@ -268,10 +277,10 @@ def main(argv=None):
         if baseline_times is None:
             baseline_times = times
 
-    if on_tpu and device_rates:
+    if on_tpu and device_rates and max(device_rates.values()) > 0:
         best = max(variants,
                    key=lambda v: device_rates[dispatch.VARIANTS[v]])
-        rates = [device_rates[dispatch.VARIANTS[v]] for v in variants]
+        rates = [r for r in device_rates.values() if r > 0]
         best_ratio = max(rates) / min(rates)
         report["tuner_basis"] = "device_resident"
     else:

@@ -60,9 +60,9 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
     metrics:  [64, B] int32 VMEM scratch, persistent across the grid
     """
     B = metrics.shape[1]
-    step0 = pl.program_id(0) * time_chunk
+    step0 = pl.program_id(1) * time_chunk
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         metrics[:] = init_ref[:]
 
@@ -129,18 +129,27 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nsteps", "time_chunk", "interpret"))
+                   static_argnames=("nsteps", "time_chunk", "interpret",
+                                    "b_tile"))
 def forward(symbols: jax.Array, nsteps: int,
             initial_metrics: jax.Array | None = None,
-            time_chunk: int = TIME_CHUNK, interpret: bool = False):
+            time_chunk: int = TIME_CHUNK, interpret: bool = False,
+            b_tile: int = 1024):
     """Pallas twin of ops.acs.forward.
 
     ``symbols``: [B, >=4*nsteps] int32. Returns (decisions
     uint32[nsteps, B, 2], final_metrics int32[B, 64]).
+
+    The batch is tiled to ``b_tile`` lanes per grid step (batch-major
+    grid, full trellis per tile) so large batches stay inside the
+    scoped-VMEM budget — B=4096 in one tile measured a 25.7 MB stack
+    allocation vs the 16 MB limit (round-4 harness run).
     """
     assert nsteps % 2 == 0
     B = symbols.shape[0]
-    Bp = max(128, ((B + 127) // 128) * 128)
+    bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
+    Bp = ((B + bt - 1) // bt) * bt
+    nbt = Bp // bt
     nchunks = (nsteps + time_chunk - 1) // time_chunk
     Tp = nchunks * time_chunk
 
@@ -159,24 +168,24 @@ def forward(symbols: jax.Array, nsteps: int,
     kernel = functools.partial(_kernel, nsteps, time_chunk)
     decisions, fmetrics = pl.pallas_call(
         kernel,
-        grid=(nchunks,),
+        grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
         in_specs=[
-            pl.BlockSpec((time_chunk, 4, Bp), lambda i: (i, 0, 0),
+            pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, Bp), lambda i: (0, 0),
+            pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((time_chunk, 2, Bp), lambda i: (i, 0, 0),
+            pl.BlockSpec((time_chunk, 2, bt), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, Bp), lambda i: (0, 0),
+            pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, 2, Bp), jnp.uint32),
             jax.ShapeDtypeStruct((64, Bp), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((64, Bp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((64, bt), jnp.int32)],
         interpret=interpret,
     )(syms, init)
 

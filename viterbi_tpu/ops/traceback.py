@@ -336,48 +336,68 @@ def chainback_blocked(decisions: jax.Array, framebits: int,
 
     ``framebits`` must be a multiple of ``block`` (DAB framebits are
     multiples of 24*32; callers pick a compatible block).
+
+    Implementation note: the in-block step axis is walked with
+    ``reverse=True`` scans over ``dynamic_index_in_dim`` rather than
+    ``flip(...).transpose(...)`` prologs — this backend MISCOMPILES the
+    fused 4D flip+transpose of the [nblocks, block, B, 64] predecessor
+    maps for B > 64 (deterministically wrong data; round-4 on-chip
+    minimal reproducer, see docs/KERNELS.md). The reverse-scan form
+    avoids the op entirely and also skips two full-tensor
+    materializations.
     """
     assert framebits % block == 0
     nblocks = framebits // block
     B = decisions.shape[1]
 
-    maps = _pred_maps(decisions[C.TAIL_BITS:C.TAIL_BITS + framebits])
-    blocks = maps.reshape(nblocks, block, B, C.NUM_STATES)
+    # Decision words stay packed ([nblocks, block, B, 2] u32); each scan
+    # step expands only its own [nblocks, B, 64] predecessor map — the
+    # materialized full map ([framebits, B, 64] int32) costs 32x the
+    # decisions and hits HBM capacity at scale (19.3 GB at framebits
+    # 9216 x B=4096, measured round 4).
+    dwords = decisions[C.TAIL_BITS:C.TAIL_BITS + framebits] \
+        .astype(jnp.int32).reshape(nblocks, block, B, 2)
+    states = jnp.arange(C.NUM_STATES, dtype=jnp.int32)
+    t_seq = jnp.arange(block)
+
+    def step_map(t):
+        """Predecessor map of in-block step t: [nblocks, B, 64]."""
+        w = jax.lax.dynamic_index_in_dim(dwords, t, axis=1,
+                                         keepdims=False)
+        word = w[..., states >> 5]
+        k = (word >> (states & 31)) & 1
+        return (states >> 1) | (k << 5)
 
     # Phase 1: per-block composed map (walking backward within a block),
     # parallel over blocks. comp[n, b, s] = state at block n's start given
     # state s at block n's end.
-    def compose(comp, step_map):
-        # comp: [nblocks, B, 64]; step_map: [nblocks, B, 64]
-        return jnp.take_along_axis(step_map, comp, axis=-1), None
+    def compose(comp, t):
+        # comp: [nblocks, B, 64]; step t's map: [nblocks, B, 64]
+        return jnp.take_along_axis(step_map(t), comp, axis=-1), None
 
     ident = jnp.broadcast_to(jnp.arange(C.NUM_STATES, dtype=jnp.int32),
                              (nblocks, B, C.NUM_STATES))
-    rev_in_block = jnp.flip(blocks, axis=1).transpose(1, 0, 2, 3)
-    comp, _ = jax.lax.scan(lambda c, m: compose(c, m), ident, rev_in_block)
+    comp, _ = jax.lax.scan(compose, ident, t_seq, reverse=True)
 
     # Phase 2: boundary states. Walk block maps from the last block
-    # (end state 0) to the first: state at the END of each block.
+    # (end state 0) to the first; emitted y = state at the END of each
+    # block, stacked in original order by the reverse scan.
     def boundary(state, comp_n):                       # state: [B]
         new = jnp.take_along_axis(comp_n, state[:, None], axis=-1)[:, 0]
         return new, state
 
     _, end_states = jax.lax.scan(boundary, jnp.zeros(B, dtype=jnp.int32),
-                                 jnp.flip(comp, axis=0))
-    end_states = jnp.flip(end_states, axis=0)          # [nblocks, B]
+                                 comp, reverse=True)   # [nblocks, B]
 
-    # Phase 3: re-walk every block in parallel given its end state.
-    def walk(state, step_map):                         # [nblocks, B]
-        k = jnp.take_along_axis(step_map, state[:, None], axis=-1)[:, 0] >> 5
-        new = (state >> 1) | (k << 5)
-        return new, k
+    # Phase 3: re-walk every block in parallel given its end state;
+    # ks[t] lands at its in-block position directly (reverse scan).
+    def walk(state, t):                                # state: [nblocks*B]
+        m2 = step_map(t).reshape(nblocks * B, C.NUM_STATES)
+        k = jnp.take_along_axis(m2, state[:, None], axis=-1)[:, 0] >> 5
+        return (state >> 1) | (k << 5), k
 
-    rev_steps = jnp.flip(blocks, axis=1).transpose(1, 0, 2, 3)
-    _, ks = jax.lax.scan(
-        lambda s, m: walk(s, m.reshape(-1, C.NUM_STATES)),
-        end_states.reshape(-1),
-        rev_steps.reshape(block, nblocks * B, C.NUM_STATES))
-    # ks: [block, nblocks*B] reversed within block -> [B, framebits]
-    bits = jnp.flip(ks.reshape(block, nblocks, B), axis=0)
-    bits = bits.transpose(2, 1, 0).reshape(B, framebits)
+    _, ks = jax.lax.scan(walk, end_states.reshape(-1), t_seq, reverse=True)
+    # ks: [block, nblocks*B] in step order -> [B, framebits]
+    bits = ks.reshape(block, nblocks, B).transpose(2, 1, 0)
+    bits = bits.reshape(B, framebits)
     return packbits_msb(bits)
