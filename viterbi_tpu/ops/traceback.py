@@ -370,21 +370,37 @@ def chainback_blocked(decisions: jax.Array, framebits: int,
 
     # Phase 1: per-block composed map (walking backward within a block),
     # parallel over blocks. comp[n, b, s] = state at block n's start given
-    # state s at block n's end.
+    # state s at block n's end. The permutation gather m[..., c[..., s]]
+    # runs as a one-hot MXU matmul: XLA:TPU lowers take_along_axis here
+    # to a per-element gather measuring ~670 ms per 64-step phase at
+    # B=256 vs ~34 ms for the matmul (round-4 race, exact both ways —
+    # map values <= 63 are exact in bf16 and the one-hot row has a
+    # single nonzero term, so no rounding can occur).
     def compose(comp, t):
         # comp: [nblocks, B, 64]; step t's map: [nblocks, B, 64]
-        return jnp.take_along_axis(step_map(t), comp, axis=-1), None
+        oh = (comp[..., None]
+              == jnp.arange(C.NUM_STATES, dtype=jnp.int32)) \
+            .astype(jnp.bfloat16)
+        new = jnp.einsum('nbst,nbt->nbs', oh,
+                         step_map(t).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return new.astype(jnp.int32), None
 
     ident = jnp.broadcast_to(jnp.arange(C.NUM_STATES, dtype=jnp.int32),
                              (nblocks, B, C.NUM_STATES))
     comp, _ = jax.lax.scan(compose, ident, t_seq, reverse=True)
 
+    def row_pick(m2, state):
+        """m2[r, state[r]] without a gather: masked sum over the
+        64-wide last axis (one match per row)."""
+        eq = state[:, None] == jnp.arange(C.NUM_STATES, dtype=jnp.int32)
+        return jnp.sum(jnp.where(eq, m2, 0), axis=-1)
+
     # Phase 2: boundary states. Walk block maps from the last block
     # (end state 0) to the first; emitted y = state at the END of each
     # block, stacked in original order by the reverse scan.
     def boundary(state, comp_n):                       # state: [B]
-        new = jnp.take_along_axis(comp_n, state[:, None], axis=-1)[:, 0]
-        return new, state
+        return row_pick(comp_n, state), state
 
     _, end_states = jax.lax.scan(boundary, jnp.zeros(B, dtype=jnp.int32),
                                  comp, reverse=True)   # [nblocks, B]
@@ -393,7 +409,7 @@ def chainback_blocked(decisions: jax.Array, framebits: int,
     # ks[t] lands at its in-block position directly (reverse scan).
     def walk(state, t):                                # state: [nblocks*B]
         m2 = step_map(t).reshape(nblocks * B, C.NUM_STATES)
-        k = jnp.take_along_axis(m2, state[:, None], axis=-1)[:, 0] >> 5
+        k = row_pick(m2, state) >> 5
         return (state >> 1) | (k << 5), k
 
     _, ks = jax.lax.scan(walk, end_states.reshape(-1), t_seq, reverse=True)
