@@ -105,13 +105,14 @@ _STREAM_WORKER = textwrap.dedent("""
     from viterbi_tpu.ops import acs, traceback as tb
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
 
-    stream_bits, B = 2 * 1536, 4
+    n_seq = len(jax.devices())        # 2 procs x local devices
+    stream_bits, B = n_seq * 1536, 4
     bits, syms = channel.make_frames(B, stream_bits, seed=42)  # noisy 3 dB
     syms = syms.astype(np.int32)
     data_np = syms[:, : C.RATE * stream_bits]
     tail_np = syms[:, C.RATE * stream_bits:]
 
-    mesh = mesh_mod.make_mesh(n_data=1, n_seq=2)   # global: one dev/process
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=n_seq)
     assert len({d.process_index for d in mesh.devices.flat}) == 2, \\
         "seq ring does not span both processes"
     rep = NamedSharding(mesh, P())
@@ -142,10 +143,10 @@ _STREAM_WORKER = textwrap.dedent("""
 
 
 def _run_two_process(tmp_path, script_src: str, ok_token: str,
-                     timeout: int = 180):
+                     timeout: int = 180, local_devices: int = 1):
     """Launch ``script_src`` in two coordinated worker processes (CPU
-    backend, one local device each) and assert both print
-    ``ok_token <process_index>``."""
+    backend, ``local_devices`` virtual devices each) and assert both
+    print ``ok_token <process_index>``."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -162,7 +163,8 @@ def _run_two_process(tmp_path, script_src: str, ok_token: str,
         + [p for p in (os.environ.get("PYTHONPATH") or "").split(os.pathsep)
            if p])
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count="
+                         f"{local_devices}",
                PYTHONPATH=pypath)
     env.pop("JAX_NUM_CPU_DEVICES", None)
     procs = [subprocess.Popen(
@@ -197,6 +199,16 @@ def test_two_process_streaming_crosses_boundary(tmp_path):
     a [data=1, seq=2] mesh with one seq device per process decodes noisy
     3 dB frames bit-equal to the whole-stream oracle."""
     _run_two_process(tmp_path, _STREAM_WORKER, "STREAM_OK", timeout=300)
+
+
+@pytest.mark.slow
+def test_two_process_streaming_four_deep_ring(tmp_path):
+    """The same SP decode on a 4-deep ring spanning 2 processes x 2
+    local devices: the ppermute ring mixes intra-process hops with the
+    cross-process hop, exercising middle-block anchors across the
+    boundary."""
+    _run_two_process(tmp_path, _STREAM_WORKER, "STREAM_OK", timeout=300,
+                     local_devices=2)
 
 
 def test_scaling_sweep_runs_and_is_sane():

@@ -134,3 +134,25 @@ def test_uep_row_constructor_validates():
     rx = P.puncture(soft, mask)
     full = P.depuncture(rx, mask)
     assert np.array_equal(golden.deconvolve(768, full), np.packbits(bits))
+
+
+def test_decode_profile_frames_uep_row():
+    """The jitted decode pipeline accepts any Profile — a user-entered
+    UEP row decodes end to end on device, bit-exact vs the golden
+    depuncture+decode composition (noisy 3 dB)."""
+    import jax.numpy as jnp
+
+    from viterbi_tpu.harness import channel
+    from viterbi_tpu.models import dab
+
+    row = ((5, 12), (8, 8), (7, 6), (4, 10))      # synthetic 32 kbit/s row
+    prof = P.uep_profile_from_row(32, 3, row)
+    framebits = prof.data_bits
+    mask = prof.mask()
+    bits, mother = channel.make_frames(4, framebits, seed=13)
+    received = np.stack([P.puncture(m, mask) for m in mother])
+    expect = np.stack([golden.deconvolve(framebits, P.depuncture(r, mask))
+                       for r in received])
+    out = dab.decode_profile_frames(
+        jnp.asarray(received.astype(np.int32)), prof)
+    assert np.array_equal(np.asarray(out), expect)

@@ -137,11 +137,31 @@ def decode_punctured_frames(received: jax.Array, bitrate_kbps: int,
     runs the batched Viterbi decode. Returns uint8[B, framebits//8].
     """
     from . import puncture as P
-    cfg = SubchannelConfig(bitrate_kbps)
     mask = P.frame_mask(bitrate_kbps, level, profile)
-    full = depuncture_device(received, mask)
+    return _decode_masked(received, 24 * bitrate_kbps, tuple(mask),
+                          use_pallas)
+
+
+def decode_profile_frames(received: jax.Array, profile,
+                          use_pallas: bool = False) -> jax.Array:
+    """Decode punctured frames of ANY ``puncture.Profile`` — including
+    user-transcribed UEP rows (``puncture.uep_profile_from_row``).
+
+    ``received``: int32[B, profile.transmitted_bits] soft symbols.
+    Returns uint8[B, profile.data_bits // 8]. The jit cache keys on the
+    profile's mask, so each profile compiles once.
+    """
+    mask = profile.mask()
+    return _decode_masked(received, profile.data_bits, tuple(mask),
+                          use_pallas)
+
+
+@partial(jax.jit, static_argnames=("framebits", "mask", "use_pallas"))
+def _decode_masked(received, framebits: int, mask, use_pallas: bool):
+    import numpy as np
+    full = depuncture_device(received, np.asarray(mask, dtype=np.uint8))
     if use_pallas:
         from ..ops import acs_pallas
-        return acs_pallas.decode(full, cfg.framebits)
-    decisions, _ = acs.forward(full, cfg.framebits + C.TAIL_BITS)
-    return traceback.chainback_scan(decisions, cfg.framebits)
+        return acs_pallas.decode(full, framebits)
+    decisions, _ = acs.forward(full, framebits + C.TAIL_BITS)
+    return traceback.chainback_scan(decisions, framebits)
