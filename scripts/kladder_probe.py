@@ -61,8 +61,8 @@ def main():
                (66, 18, 180),    # 4680: 26 chunks
                (90, 24, 168),    # 4704: 28 chunks
                (42, 24, 48)],    # 4656: 97 chunks
-        9216: [(24, 24, 168),    # current: 55 chunks (the fast anchor)
-               (24, 24, 120)],   # 77 chunks
+        9216: [(18, 24, 168),    # current: 55 chunks (the fast anchor)
+               (18, 24, 120)],   # 77 chunks
     }
 
     def run(fb, pad, ckpt, chunk, syms_packed):
@@ -75,9 +75,10 @@ def main():
             return tb.chainback_regs_pallas(regs, fb, ckpt=ckpt,
                                             offset=pad)
         f = jax.jit(lambda s: decode(s)[:128])
-        # correctness spot-check on 4 frames before timing
-        small = syms_packed[:, :]
-        out = np.asarray(jax.jit(decode)(small))[:4]
+        # correctness spot-check before timing: reuse the timed jit and
+        # fetch only 4 frames (a full-batch fetch costs a multi-MB
+        # tunnel round-trip per candidate)
+        out = np.asarray(f(syms_packed))[:4]
         return f, out
 
     if args.overhead:

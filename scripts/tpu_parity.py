@@ -239,9 +239,11 @@ def main():
         lb_bad += int(not np.array_equal(out[:4], expect))
         dec2, _ = acs.forward(jnp.asarray(syms[:B_lb // 2]), fb_lb + 6)
         out2 = np.asarray(tb.chainback_blocked(dec2, fb_lb, block=64))
+        cell_bad = (int(not np.array_equal(out[:4], expect))
+                    + int(not np.array_equal(out2[:4], expect)))
         lb_bad += int(not np.array_equal(out2[:4], expect))
         print(f"  large-batch fb={fb_lb} B={B_lb}: "
-              f"{'ok' if lb_bad == 0 else 'MISMATCH'}", flush=True)
+              f"{'ok' if cell_bad == 0 else 'MISMATCH'}", flush=True)
     record("large_batch_blocked", mismatch_cells=lb_bad,
            note="pallas/jax decisions + blocked traceback at B in "
                 "{512..1024} — guards the round-4 flip+transpose "

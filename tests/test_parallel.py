@@ -103,6 +103,21 @@ def test_streaming_small_blocks_clamp_default_overlap():
                                 overlap=96, use_pallas=False)
 
 
+def test_streaming_small_blocks_pallas_ckpt_alignment():
+    """The default-overlap clamp must also survive the Pallas path's
+    checkpoint rounding (round-4 review: rounding UP pushed the clamped
+    overlap back above tb_block; defaults now align DOWN)."""
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+    framebits = 48 * 8               # tb_block 48, ckpt 18: clamp + align
+    bits, syms = channel.make_frames(2, framebits, seed=12)
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=8)
+    out = np.asarray(streaming.decode_stream(
+        syms.astype(np.int32), framebits, mesh,
+        use_pallas=True, interpret=True))
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    assert np.array_equal(out, expect)
+
+
 def test_streaming_noiseless_long_stream():
     from viterbi_tpu.parallel import mesh as mesh_mod, streaming
     framebits = 8 * 1024

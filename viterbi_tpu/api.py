@@ -94,7 +94,9 @@ def wake_up(framebits: int = 3072, batch: int = 1,
     live frame); an iterable of kbit/s rates warms exactly those.
     Compiles also persist across restarts via the compile cache
     (config key ``compile_cache``)."""
-    if ladder:
+    if ladder is not False and ladder is not None:
+        # an explicit empty iterable warms nothing (it does NOT fall
+        # back to the default single-shape warm)
         rates = DAB_LADDER_KBPS if ladder is True else tuple(ladder)
         for kbps in rates:
             fb = 24 * int(kbps)

@@ -278,8 +278,17 @@ def main(argv=None):
             baseline_times = times
 
     if on_tpu and device_rates and max(device_rates.values()) > 0:
-        best = max(variants,
-                   key=lambda v: device_rates[dispatch.VARIANTS[v]])
+        # a fast variant that fails cross-variant BER parity (or died
+        # in the device timing) must never win the tune — exactly the
+        # miscompile class docs/KERNELS.md records would otherwise be
+        # persisted as the production decoder
+        def eligible(v):
+            rec = report["variants"][dispatch.VARIANTS[v]]
+            return (device_rates[dispatch.VARIANTS[v]] > 0
+                    and (rec["bit_errors"], rec["bad_frames"]) == ref_ber)
+
+        pool = [v for v in variants if eligible(v)] or [variants[0]]
+        best = max(pool, key=lambda v: device_rates[dispatch.VARIANTS[v]])
         rates = [r for r in device_rates.values() if r > 0]
         best_ratio = max(rates) / min(rates)
         report["tuner_basis"] = "device_resident"

@@ -21,7 +21,7 @@ interleaved RS codewords (rschecksf.cpp:58-62).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -125,8 +125,32 @@ def depuncture_device(received: jax.Array, mask) -> jax.Array:
     return out.at[:, idx].set(received.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("bitrate_kbps", "level", "profile",
-                                   "use_pallas"))
+@lru_cache(maxsize=64)
+def _masked_decoder(segments: tuple, use_pallas: bool):
+    """Jitted depuncture+decode closure for one profile.
+
+    Cached on the profile's small ``segments`` tuple — the alternative
+    (a jit static arg holding the ~4*I-element mask tuple) would hash
+    tens of thousands of Python ints on every call, milliseconds of
+    overhead on a per-frame path.
+    """
+    from . import puncture as P
+    prof = P.Profile("cached", segments)
+    mask = prof.mask()
+    framebits = prof.data_bits
+
+    @jax.jit
+    def decode(received, use_pallas=use_pallas):
+        full = depuncture_device(received, mask)
+        if use_pallas:
+            from ..ops import acs_pallas
+            return acs_pallas.decode(full, framebits)
+        decisions, _ = acs.forward(full, framebits + C.TAIL_BITS)
+        return traceback.chainback_scan(decisions, framebits)
+
+    return decode
+
+
 def decode_punctured_frames(received: jax.Array, bitrate_kbps: int,
                             level: int, profile: str = "A",
                             use_pallas: bool = False) -> jax.Array:
@@ -137,9 +161,8 @@ def decode_punctured_frames(received: jax.Array, bitrate_kbps: int,
     runs the batched Viterbi decode. Returns uint8[B, framebits//8].
     """
     from . import puncture as P
-    mask = P.frame_mask(bitrate_kbps, level, profile)
-    return _decode_masked(received, 24 * bitrate_kbps, tuple(mask),
-                          use_pallas)
+    prof = P.eep_profile(bitrate_kbps, level, profile)
+    return _masked_decoder(prof.segments, use_pallas)(received)
 
 
 def decode_profile_frames(received: jax.Array, profile,
@@ -148,20 +171,7 @@ def decode_profile_frames(received: jax.Array, profile,
     user-transcribed UEP rows (``puncture.uep_profile_from_row``).
 
     ``received``: int32[B, profile.transmitted_bits] soft symbols.
-    Returns uint8[B, profile.data_bits // 8]. The jit cache keys on the
-    profile's mask, so each profile compiles once.
+    Returns uint8[B, profile.data_bits // 8]. Each distinct profile
+    compiles once (cached on its segment tuple).
     """
-    mask = profile.mask()
-    return _decode_masked(received, profile.data_bits, tuple(mask),
-                          use_pallas)
-
-
-@partial(jax.jit, static_argnames=("framebits", "mask", "use_pallas"))
-def _decode_masked(received, framebits: int, mask, use_pallas: bool):
-    import numpy as np
-    full = depuncture_device(received, np.asarray(mask, dtype=np.uint8))
-    if use_pallas:
-        from ..ops import acs_pallas
-        return acs_pallas.decode(full, framebits)
-    decisions, _ = acs.forward(full, framebits + C.TAIL_BITS)
-    return traceback.chainback_scan(decisions, framebits)
+    return _masked_decoder(profile.segments, use_pallas)(received)

@@ -147,8 +147,18 @@ def forward(symbols: jax.Array, nsteps: int,
     """
     assert nsteps % 2 == 0
     B = symbols.shape[0]
-    bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
-    Bp = ((B + bt - 1) // bt) * bt
+    # pad only to the 128-lane granule, then pick the batch tile as an
+    # exact <=b_tile divisor of Bp (rounding Bp up to a tile multiple
+    # instead would waste up to ~2x compute for B just above a tile
+    # boundary, e.g. B=1100 -> 2048)
+    Bp = max(128, ((B + 127) // 128) * 128)
+    if Bp <= b_tile:
+        bt = Bp
+    else:
+        nbt = -(-Bp // b_tile)
+        while Bp % nbt or (Bp // nbt) % 128:
+            nbt += 1
+        bt = Bp // nbt
     nbt = Bp // bt
     nchunks = (nsteps + time_chunk - 1) // time_chunk
     Tp = nchunks * time_chunk

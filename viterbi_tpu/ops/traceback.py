@@ -316,19 +316,6 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     return out
 
 
-def _pred_maps(decisions: jax.Array) -> jax.Array:
-    """Expand decision words into predecessor maps.
-
-    decisions: uint32[T, B, 2] -> int32[T, B, 64] where entry s is the
-    predecessor state of s: (s >> 1) | (decision_bit(s) << 5).
-    """
-    states = jnp.arange(C.NUM_STATES, dtype=jnp.int32)
-    words = decisions.astype(jnp.int32)                # [T, B, 2]
-    word = words[..., states >> 5]                     # [T, B, 64]
-    k = (word >> (states & 31)) & 1
-    return (states >> 1) | (k << 5)
-
-
 @partial(jax.jit, static_argnames=("framebits", "block"))
 def chainback_blocked(decisions: jax.Array, framebits: int,
                       block: int = 64) -> jax.Array:

@@ -117,7 +117,8 @@ def _auto_use_pallas() -> bool:
         return False
 
 
-def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
+def make_stream_decoder(mesh, stream_bits: int,
+                        overlap: int | None = None,
                         use_pallas: bool | None = None,
                         interpret: bool = False,
                         warmup: int | None = None):
@@ -126,6 +127,9 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
 
     ``use_pallas=None`` selects the Pallas register-exchange fast path
     automatically on TPU backends (the default in production).
+    ``overlap=None`` uses ``DEFAULT_OVERLAP``, clamped/aligned to fit
+    small per-device blocks; an explicit overlap that cannot fit
+    raises.
 
     Returns ``decode(symbols, tail_syms)`` where
       * ``symbols``: int32[B, 4*stream_bits] — the data-bit symbols,
@@ -134,11 +138,14 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
     """
     if use_pallas is None:
         use_pallas = _auto_use_pallas()
+    explicit_overlap = overlap is not None
+    if overlap is None:
+        overlap = DEFAULT_OVERLAP
     n_seq = mesh.shape[mesh_mod.SEQ_AXIS]
     assert stream_bits % n_seq == 0
     tb_block = stream_bits // n_seq
     assert tb_block % 8 == 0 and tb_block % 2 == 0
-    if overlap == DEFAULT_OVERLAP and overlap > tb_block:
+    if not explicit_overlap and overlap > tb_block:
         # small per-device blocks: clamp the *default* overlap so short
         # streams keep working (truncation reliability degrades with the
         # block size anyway); an explicit overlap that doesn't fit is a
@@ -161,10 +168,19 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
                     if (tb_block + C.TAIL_BITS) % d == 0)
         overlap += (-(overlap - C.TAIL_BITS)) % ckpt  # overlap ≡ 6 (mod ckpt)
         if overlap > tb_block:
-            raise ValueError(
-                f"overlap {overlap} (after checkpoint rounding) exceeds "
-                f"the {tb_block}-bit per-device block; use more data "
-                f"bits per device or a smaller overlap")
+            if explicit_overlap:
+                raise ValueError(
+                    f"overlap {overlap} (after checkpoint rounding) "
+                    f"exceeds the {tb_block}-bit per-device block; use "
+                    f"more data bits per device or a smaller overlap")
+            # default overlap: align DOWN instead (the clamp above may
+            # have landed between checkpoints)
+            overlap -= ckpt * (-(-(overlap - tb_block) // ckpt))
+            if overlap < C.TAIL_BITS:
+                raise ValueError(
+                    f"per-device block of {tb_block} bits cannot fit "
+                    f"any checkpoint-aligned overlap (ckpt {ckpt}); "
+                    f"use more data bits per device")
         warm = max(ckpt, warm - warm % ckpt)
 
     right = [(d, d + 1) for d in range(n_seq - 1)]
@@ -249,7 +265,7 @@ def make_stream_decoder(mesh, stream_bits: int, overlap: int = DEFAULT_OVERLAP,
 
 
 def decode_stream(symbols, framebits: int, mesh=None,
-                  overlap: int = DEFAULT_OVERLAP,
+                  overlap: int | None = None,
                   use_pallas: bool | None = None, interpret: bool = False,
                   warmup: int | None = None):
     """Convenience wrapper: ``symbols`` int[B, 4*(framebits+6)] for a
