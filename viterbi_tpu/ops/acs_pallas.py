@@ -873,8 +873,17 @@ def forward_regs(symbols: jax.Array, nsteps: int,
         symbols = symbols.T                  # [B, nsteps] -> [nsteps, B]
         packed = True
     B = symbols.shape[1] if packed else symbols.shape[0]
-    bt = min(b_tile, max(128, ((B + 127) // 128) * 128))
-    Bp = ((B + bt - 1) // bt) * bt
+    # pad to the 128-lane granule and tile by an exact divisor of Bp
+    # (rounding Bp up to a b_tile multiple would waste up to ~40%
+    # compute for batches just above a tile boundary, e.g. 1100 -> 1536)
+    Bp = max(128, ((B + 127) // 128) * 128)
+    if Bp <= b_tile:
+        bt = Bp
+    else:
+        nbt_ = -(-Bp // b_tile)
+        while Bp % nbt_ or (Bp // nbt_) % 128:
+            nbt_ += 1
+        bt = Bp // nbt_
     nbt = Bp // bt
     nchunks = nsteps // time_chunk
     ncheck = nsteps // ckpt
