@@ -162,3 +162,16 @@ def test_decode_explicit_ckpt_is_honored():
     out = acs_pallas.decode(jnp.asarray(syms), framebits, ckpt=6,
                             interpret=True)
     assert np.array_equal(np.asarray(out), expect)
+
+
+def test_batch_tile_prime_granule_falls_back_to_padding():
+    """Bp/128 prime used to degrade to 128-lane tiles (13 grid tiles at
+    B=1600); the chooser now weighs that against tile-multiple padding
+    (advisor r4)."""
+    from viterbi_tpu.ops.acs_pallas import _batch_tile
+    assert _batch_tile(1600, 512) == (2048, 512)   # 13x128 -> 4x512
+    assert _batch_tile(1100, 512) == (1152, 384)   # exact divisor fine
+    assert _batch_tile(64, 512) == (128, 128)      # lane-granule floor
+    assert _batch_tile(4096, 1024) == (4096, 1024)
+    Bp, bt = _batch_tile(8192, 512)
+    assert Bp == 8192 and bt == 512

@@ -128,3 +128,18 @@ def test_streaming_noiseless_long_stream():
     out = np.asarray(streaming.decode_stream(syms.astype(np.int32),
                                              framebits, mesh))
     assert np.array_equal(out, np.packbits(bits, axis=1))
+
+
+def test_streaming_tiny_blocks_raise_descriptive_errors():
+    """Blocks too small for the mechanism must raise the descriptive
+    'use more data bits per device' error, not an opaque assert
+    (advisor r4: tb_block=12 -> ckpt=18 > block on the Pallas path)."""
+    from viterbi_tpu.parallel import mesh as mesh_mod, streaming
+    mesh = mesh_mod.make_mesh(n_data=1, n_seq=8)
+    for framebits, kw in ((12 * 8, dict(use_pallas=True, interpret=True)),
+                          (12 * 8, dict(use_pallas=False)),
+                          (30 * 8, dict(use_pallas=True, interpret=True))):
+        bits, syms = channel.make_frames(2, framebits, seed=13)
+        with pytest.raises(ValueError, match="more data bits per device"):
+            streaming.decode_stream(syms.astype(np.int32), framebits,
+                                    mesh, **kw)

@@ -94,19 +94,30 @@ def wake_up(framebits: int = 3072, batch: int = 1,
     live frame); an iterable of kbit/s rates warms exactly those.
     Compiles also persist across restarts via the compile cache
     (config key ``compile_cache``)."""
-    if ladder is not False and ladder is not None:
+    if ladder is None or ladder is False:
+        rates = None
+    elif ladder is True:
+        rates = DAB_LADDER_KBPS
+    else:
         # an explicit empty iterable warms nothing (it does NOT fall
-        # back to the default single-shape warm)
-        rates = DAB_LADDER_KBPS if ladder is True else tuple(ladder)
-        for kbps in rates:
-            fb = 24 * int(kbps)
-            syms = np.zeros((batch, C.RATE * (fb + C.TAIL_BITS)),
-                            dtype=np.int32)
-            _decode_batch(syms, fb)
+        # back to the default single-shape warm); non-iterable scalars
+        # (e.g. ladder=0) are a caller error, not "no ladder"
+        try:
+            rates = tuple(int(k) for k in ladder)
+        except TypeError:
+            raise TypeError(
+                "ladder must be a bool or an iterable of kbit/s rates, "
+                f"got {ladder!r}") from None
+    if rates is None:
+        syms = np.zeros((batch, C.RATE * (framebits + C.TAIL_BITS)),
+                        dtype=np.int32)
+        _decode_batch(syms, framebits)
         return
-    syms = np.zeros((batch, C.RATE * (framebits + C.TAIL_BITS)),
-                    dtype=np.int32)
-    _decode_batch(syms, framebits)
+    for kbps in rates:
+        fb = 24 * int(kbps)
+        syms = np.zeros((batch, C.RATE * (fb + C.TAIL_BITS)),
+                        dtype=np.int32)
+        _decode_batch(syms, fb)
 
 
 def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
@@ -251,15 +262,24 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
             _buf_write(out_vector, slice(0, out.size), out)
         else:
             # partial write: corrected prefix only, interleaved stride —
-            # byte k of codeword j lives at out[j + k*rs_dims]. Strided
-            # slice assignment writes through for ndarrays of any
-            # contiguity and for plain buffers (a reshape of a
-            # non-contiguous view would return a copy and lose the
-            # write).
+            # byte k of codeword j lives at out[j + k*rs_dims].
             n_ok = int(n_ok)
             src = out.reshape(C.RS_KK, rs_dims)
-            end = rs_dims * C.RS_KK
-            for j in range(n_ok):
-                _buf_write(out_vector, slice(j, end, rs_dims), src[:, j])
+            if isinstance(out_vector, np.ndarray):
+                # one fancy-index assignment (writes through views of
+                # any contiguity; reshape(-1) of a non-contiguous view
+                # would copy and lose the write, so flatten only when
+                # it is guaranteed to be a view)
+                flat = (out_vector if out_vector.ndim == 1
+                        else out_vector.reshape(-1))
+                idx = (np.arange(C.RS_KK)[:, None] * rs_dims
+                       + np.arange(n_ok)[None, :])
+                flat[idx.ravel()] = src[:, :n_ok].astype(np.uint8).ravel()
+            else:
+                # plain byte buffers only accept slice assignment
+                end = rs_dims * C.RS_KK
+                for j in range(n_ok):
+                    _buf_write(out_vector, slice(j, end, rs_dims),
+                               src[:, j])
     _tls.rs_out = out
     return errors

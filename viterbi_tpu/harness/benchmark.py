@@ -281,16 +281,30 @@ def main(argv=None):
         # a fast variant that fails cross-variant BER parity (or died
         # in the device timing) must never win the tune — exactly the
         # miscompile class docs/KERNELS.md records would otherwise be
-        # persisted as the production decoder
-        def eligible(v):
+        # persisted as the production decoder. Correctness anchor: the
+        # CONSENSUS (errs, bad) pair across variants, not variant 0's —
+        # if the baseline variant itself miscompiles, anchoring on it
+        # would exclude every correct variant and persist the broken
+        # one (round-4 advisor finding). Ties break toward fewer bit
+        # errors (a miscompile inflates BER, it does not deflate it).
+        from collections import Counter
+
+        def pair_of(v):
             rec = report["variants"][dispatch.VARIANTS[v]]
+            return (rec["bit_errors"], rec["bad_frames"])
+
+        counts = Counter(pair_of(v) for v in variants)
+        consensus = min(counts, key=lambda p: (-counts[p], p[0]))
+
+        def eligible(v):
             return (device_rates[dispatch.VARIANTS[v]] > 0
-                    and (rec["bit_errors"], rec["bad_frames"]) == ref_ber)
+                    and pair_of(v) == consensus)
 
         pool = [v for v in variants if eligible(v)] or [variants[0]]
         best = max(pool, key=lambda v: device_rates[dispatch.VARIANTS[v]])
-        rates = [r for r in device_rates.values() if r > 0]
-        best_ratio = max(rates) / min(rates)
+        rates = [device_rates[dispatch.VARIANTS[v]] for v in pool
+                 if device_rates[dispatch.VARIANTS[v]] > 0]
+        best_ratio = max(rates) / min(rates) if rates else 1.0
         report["tuner_basis"] = "device_resident"
     else:
         report["tuner_basis"] = "api_path"

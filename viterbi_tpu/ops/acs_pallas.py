@@ -49,6 +49,33 @@ def available() -> bool:
     return _HAVE_PALLAS
 
 
+def _batch_tile(B: int, b_tile: int) -> tuple[int, int]:
+    """Pick (padded batch Bp, batch tile bt) for the batch-major grid.
+
+    Pads only to the 128-lane granule, then tiles by the largest exact
+    <= b_tile divisor of Bp — rounding Bp up to a tile multiple instead
+    would waste up to ~2x compute for batches just above a tile boundary
+    (e.g. B=1100 -> 2048). When the best exact divisor degrades far
+    below b_tile (Bp/128 prime, e.g. B=1600 -> 13 tiles of 128), fall
+    back to tile-multiple padding if its waste is smaller under a coarse
+    per-tile overhead of ~64 lanes (pipeline prologue + scratch init;
+    round-4 advisor finding — the difference is small either way).
+    """
+    Bp = max(128, ((B + 127) // 128) * 128)
+    if Bp <= b_tile:
+        return Bp, Bp
+    nbt = -(-Bp // b_tile)
+    while Bp % nbt or (Bp // nbt) % 128:
+        nbt += 1
+    bt = Bp // nbt
+    if bt < b_tile // 2:
+        nbt_pad = -(-Bp // b_tile)
+        overhead = 64  # lanes-equivalent fixed cost per grid tile
+        if nbt_pad * (b_tile + overhead) < nbt * (bt + overhead):
+            return nbt_pad * b_tile, b_tile
+    return Bp, bt
+
+
 def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
             met_ref, metrics):
     """Grid step: ``time_chunk`` trellis steps over [64, B] metrics.
@@ -147,18 +174,7 @@ def forward(symbols: jax.Array, nsteps: int,
     """
     assert nsteps % 2 == 0
     B = symbols.shape[0]
-    # pad only to the 128-lane granule, then pick the batch tile as an
-    # exact <=b_tile divisor of Bp (rounding Bp up to a tile multiple
-    # instead would waste up to ~2x compute for B just above a tile
-    # boundary, e.g. B=1100 -> 2048)
-    Bp = max(128, ((B + 127) // 128) * 128)
-    if Bp <= b_tile:
-        bt = Bp
-    else:
-        nbt = -(-Bp // b_tile)
-        while Bp % nbt or (Bp // nbt) % 128:
-            nbt += 1
-        bt = Bp // nbt
+    Bp, bt = _batch_tile(B, b_tile)
     nbt = Bp // bt
     nchunks = (nsteps + time_chunk - 1) // time_chunk
     Tp = nchunks * time_chunk
@@ -873,17 +889,7 @@ def forward_regs(symbols: jax.Array, nsteps: int,
         symbols = symbols.T                  # [B, nsteps] -> [nsteps, B]
         packed = True
     B = symbols.shape[1] if packed else symbols.shape[0]
-    # pad to the 128-lane granule and tile by an exact divisor of Bp
-    # (rounding Bp up to a b_tile multiple would waste up to ~40%
-    # compute for batches just above a tile boundary, e.g. 1100 -> 1536)
-    Bp = max(128, ((B + 127) // 128) * 128)
-    if Bp <= b_tile:
-        bt = Bp
-    else:
-        nbt_ = -(-Bp // b_tile)
-        while Bp % nbt_ or (Bp // nbt_) % 128:
-            nbt_ += 1
-        bt = Bp // nbt_
+    Bp, bt = _batch_tile(B, b_tile)
     nbt = Bp // bt
     nchunks = nsteps // time_chunk
     ncheck = nsteps // ckpt

@@ -144,7 +144,11 @@ def make_stream_decoder(mesh, stream_bits: int,
     n_seq = mesh.shape[mesh_mod.SEQ_AXIS]
     assert stream_bits % n_seq == 0
     tb_block = stream_bits // n_seq
-    assert tb_block % 8 == 0 and tb_block % 2 == 0
+    if tb_block % 8:
+        raise ValueError(
+            f"per-device block of {tb_block} bits is not byte-granular; "
+            f"use more data bits per device (stream_bits {stream_bits} "
+            f"over {n_seq} devices)")
     if not explicit_overlap and overlap > tb_block:
         # small per-device blocks: clamp the *default* overlap so short
         # streams keep working (truncation reliability degrades with the
@@ -163,9 +167,20 @@ def make_stream_decoder(mesh, stream_bits: int,
         from ..ops import acs_pallas
         # anchor times (tb_block + TAIL_BITS for the final block,
         # tb_block + overlap elsewhere) must land on checkpoints
-        assert tb_block % 6 == 0, "pallas streaming needs 6 | block bits"
+        if tb_block % 6:
+            raise ValueError(
+                f"pallas streaming needs 6 | block bits (got {tb_block}); "
+                f"use more data bits per device or use_pallas=False")
         ckpt = next(d for d in (24, 18, 12, 6)
                     if (tb_block + C.TAIL_BITS) % d == 0)
+        if ckpt > tb_block:
+            # e.g. tb_block=12 -> ckpt=18: the warm-up pass would then
+            # call forward_regs(warm=ckpt > tb_block) and die on an
+            # opaque nsteps % ckpt assert
+            raise ValueError(
+                f"per-device block of {tb_block} bits is smaller than "
+                f"its checkpoint period {ckpt}; use more data bits per "
+                f"device")
         overlap += (-(overlap - C.TAIL_BITS)) % ckpt  # overlap ≡ 6 (mod ckpt)
         if overlap > tb_block:
             if explicit_overlap:

@@ -116,9 +116,12 @@ def load(path: str | None = None) -> Config:
         elif key == "interpret":
             cfg.interpret = val not in ("0", "false", "")
         elif key == "compile_cache":
-            if val in ("0", "false", ""):
+            if val.lower() in ("0", "false", "no", ""):
                 cfg.compile_cache = ""
-            elif val == "1":
+            elif val.lower() in ("1", "true", "yes"):
+                # boolean-ish truthy spellings mean the default dir —
+                # without this, "compile_cache=true" would silently
+                # create a cache directory literally named "true"
                 cfg.compile_cache = default_compile_cache_dir()
             else:
                 cfg.compile_cache = val
