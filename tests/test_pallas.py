@@ -175,3 +175,70 @@ def test_batch_tile_prime_granule_falls_back_to_padding():
     assert _batch_tile(4096, 1024) == (4096, 1024)
     Bp, bt = _batch_tile(8192, 512)
     assert Bp == 8192 and bt == 512
+
+
+def _on_tpu():
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@pytest.mark.xfail(condition=_on_tpu(), strict=True,
+                   reason="XLA:TPU miscompiles fused 4D flip+transpose "
+                          "at B>64 (round-4 finding, docs/KERNELS.md); "
+                          "an XPASS here means the backend is fixed and "
+                          "the reverse-scan workaround in "
+                          "chainback_blocked can be retired")
+def test_flip_transpose_backend_fence():
+    """Fence for the backend miscompile pinned by
+    scripts/repro_flip_transpose.py (VERDICT r4 next #10). Runs (and
+    passes) on the CPU CI backend; xfails strictly on the broken TPU
+    backend."""
+    import scripts.repro_flip_transpose as repro
+    assert repro.check(batch=128, nblocks=8)
+
+
+def test_chainback_words_pallas_matches_scan():
+    """The decision-word Pallas traceback (the `pallas` rung's fast
+    traceback, VERDICT r4 next #1) is bit-exact vs chainback_scan and
+    golden across shapes, incl. a multi-block odd-bitrate shape."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs, traceback as tb
+
+    for fb, B in ((48, 3), (2328, 2), (768, 130)):
+        bits, syms = channel.make_frames(B, fb, seed=fb + 1)
+        dec, _ = acs.forward(jnp.asarray(syms.astype(np.int32)),
+                             fb + C.TAIL_BITS)
+        want = np.asarray(tb.chainback_scan(dec, fb))
+        got = np.asarray(tb.chainback_words_pallas(dec, fb,
+                                                   interpret=True))
+        assert np.array_equal(got, want), f"fb={fb}"
+        exp = np.stack([golden.deconvolve(fb, s) for s in syms])
+        assert np.array_equal(got, exp), f"golden fb={fb}"
+
+
+def test_decisions_forward_packed_ingest():
+    """acs_pallas.forward with packed one-int32-per-step ingest (both
+    time-major and host-natural frame-major layouts) matches the
+    unpacked forward bit-for-bit."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs_pallas
+
+    fb = 96
+    nsteps = fb + C.TAIL_BITS
+    rng = np.random.default_rng(17)
+    syms = rng.integers(0, 256, (5, C.RATE * nsteps), dtype=np.int64) \
+        .astype(np.int32)
+    dec0, met0 = acs_pallas.forward(jnp.asarray(syms), nsteps,
+                                    interpret=True)
+    packed_bt = acs_pallas.pack_symbols_host(syms)          # [B, T]
+    dec1, met1 = acs_pallas.forward(jnp.asarray(packed_bt), nsteps,
+                                    packed="bt", interpret=True)
+    dec2, met2 = acs_pallas.forward(jnp.asarray(packed_bt.T), nsteps,
+                                    packed=True, interpret=True)
+    assert np.array_equal(np.asarray(dec0), np.asarray(dec1))
+    assert np.array_equal(np.asarray(dec0), np.asarray(dec2))
+    assert np.array_equal(np.asarray(met0), np.asarray(met1))
+    assert np.array_equal(np.asarray(met0), np.asarray(met2))

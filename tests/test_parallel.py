@@ -143,3 +143,38 @@ def test_streaming_tiny_blocks_raise_descriptive_errors():
         with pytest.raises(ValueError, match="more data bits per device"):
             streaming.decode_stream(syms.astype(np.int32), framebits,
                                     mesh, **kw)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_local_stream_decoder_matches_whole(use_pallas):
+    """Single-device virtual-ring streaming (blocks folded into the
+    batch axis, VERDICT r4 next #2): bit-equal to the whole-stream
+    decode on noisy 3 dB frames."""
+    from viterbi_tpu.parallel import streaming
+    n_blocks = 4
+    stream_bits = 768 * n_blocks
+    B = 2
+    bits, syms = channel.make_frames(B, stream_bits, seed=31)
+    syms = syms.astype(np.int32)
+    dec = streaming.make_local_stream_decoder(
+        stream_bits, n_blocks, use_pallas=use_pallas,
+        interpret=use_pallas)
+    out = np.asarray(dec(syms[:, :4 * stream_bits],
+                         syms[:, 4 * stream_bits:]))
+    assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))
+
+
+def test_local_stream_decoder_long_stream_pallas():
+    """A 24576-bit stream (2.7x MAX_FRAMEBITS) through the local
+    decoder's Pallas path — the 1-chip mechanism for streams the
+    reference cannot represent in one call."""
+    from viterbi_tpu.parallel import streaming
+    n_blocks = 8
+    stream_bits = 3072 * n_blocks
+    bits, syms = channel.make_frames(2, stream_bits, seed=32)
+    syms = syms.astype(np.int32)
+    dec = streaming.make_local_stream_decoder(
+        stream_bits, n_blocks, use_pallas=True, interpret=True)
+    out = np.asarray(dec(syms[:, :4 * stream_bits],
+                         syms[:, 4 * stream_bits:]))
+    assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))

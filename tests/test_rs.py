@@ -103,10 +103,11 @@ def test_rs_api_partial_prefix_on_failure():
         and (view[4] == 0xEE).all()
 
 
-def test_deconvolve_validates_byte_granularity_without_latching():
-    """framebits not a multiple of 8 is a caller typo: error return, no
-    safe-mode latch, and a healthy caller keeps working (VERDICT r2
-    weak #6 regression)."""
+def test_deconvolve_validates_without_latching():
+    """Validation errors return the error code without latching safe
+    mode, and a healthy caller keeps working (VERDICT r2 weak #6
+    regression). Off-byte framebits (e.g. 50) are VALID since round 5
+    (reference contract, chainback.inc) and must decode, not error."""
     import viterbi_tpu
     from viterbi_tpu import golden
     from viterbi_tpu.runtime import dispatch
@@ -115,9 +116,11 @@ def test_deconvolve_validates_byte_granularity_without_latching():
     rng = np.random.default_rng(0)
     bits = rng.integers(0, 2, framebits, dtype=np.uint8)
     syms = golden.hard_to_soft(golden.encode(bits))
-    # framebits 50 passes %2 but not %8 — previously latched safe mode
-    long_syms = np.zeros(4 * (50 + 6), dtype=np.int32)
-    assert viterbi_tpu.deconvolve(50, long_syms) == 1
+    # framebits 50: off the byte grid but in-contract — decodes cleanly
+    bits50 = rng.integers(0, 2, 50, dtype=np.uint8)
+    syms50 = golden.hard_to_soft(golden.encode(bits50))
+    assert viterbi_tpu.deconvolve(50, syms50) == 0
+    assert np.array_equal(viterbi_tpu.last_output(), np.packbits(bits50))
     assert not dispatch.state().safe_mode
     # short output buffer: benign validation error, no latch
     short_out = np.zeros(framebits // 8 - 1, dtype=np.uint8)

@@ -120,6 +120,43 @@ def wake_up(framebits: int = 3072, batch: int = 1,
         _decode_batch(syms, fb)
 
 
+def _decode_arbitrary(symbols, framebits: int) -> np.ndarray:
+    """Decode at any framebits — the reference-contract path for sizes
+    off the byte/parity grid (chainback.inc:18-41 writes output[t>>3]
+    per bit; a partial final byte holds the remaining bits MSB-aligned
+    over zeros, see traceback.packbits_msb).
+
+    Odd framebits note: the reference's ACS main loop runs
+    (framebits+6)/2 step *pairs* (deconvolve.cpp:92 — integer floor), so
+    for odd framebits the topmost decision word the chainback reads
+    (decis[framebits+5]) is never written: its stack buffer is
+    uninitialized (deconvolve.cpp:93) and the first decoded bit is
+    undefined. We implement the well-defined idealization — the full
+    framebits+6-step terminated trellis — which is what the golden
+    oracle computes; even framebits are bit-exact to the reference
+    either way.
+
+    Performance is irrelevant here (no DAB framebits is off-grid —
+    framebits = bitrate*24); the simple XLA forward + scan traceback
+    keeps the contract without a Pallas layout for every parity.
+    """
+    import jax.numpy as jnp
+
+    from .ops import acs, traceback
+
+    nsteps = framebits + C.TAIL_BITS
+    ns_even = nsteps + (nsteps % 2)
+    syms = jnp.asarray(symbols, dtype=jnp.int32)[:, : C.RATE * nsteps]
+    if ns_even != nsteps:
+        # one zero-padded trailing step: decisions are causal, so
+        # decisions[:nsteps] (all the chainback reads) are unchanged,
+        # and the renorm cadence for t < nsteps is identical
+        syms = jnp.pad(syms, ((0, 0), (0, C.RATE)))
+    decisions, _ = acs.forward(syms, ns_even)
+    return np.asarray(
+        traceback.chainback_scan(decisions[:nsteps], framebits))
+
+
 def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
     """Dispatch a [B, 4*(framebits+6)] int array through the selected
     variant. Returns uint8[B, ceil(framebits/8)] packed bytes."""
@@ -127,6 +164,8 @@ def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
 
     from .ops import acs, traceback
 
+    if framebits % 8:
+        return _decode_arbitrary(symbols, framebits)
     st = dispatch.state()
     syms = jnp.asarray(symbols, dtype=jnp.int32)
     variant = dispatch.VARIANTS[st.variant]
@@ -139,17 +178,32 @@ def _decode_batch(symbols: np.ndarray, framebits: int) -> np.ndarray:
                                             interpret=interpret))
     if variant == "pallas":
         # decisions-kernel ACS (reference 2xu32 word layout,
-        # viterbi.h:89-92) + block-parallel traceback
+        # viterbi.h:89-92) + Pallas decision-word traceback (the
+        # blocked fallback covers off-DAB-grid shapes)
         from .ops import acs_pallas
         decisions, _ = acs_pallas.forward(syms, framebits + C.TAIL_BITS,
                                           interpret=interpret)
+        if framebits % 24 == 0:
+            return np.asarray(traceback.chainback_words_pallas(
+                decisions, framebits, interpret=interpret))
         block = st.config.traceback_block
         if framebits % block != 0:
             block = next(b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1)
                          if framebits % b == 0)
         return np.asarray(traceback.chainback_blocked(decisions, framebits,
                                                       block=block))
-    decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
+    if st.caps & dispatch.CAP_TPU:
+        # the jax_* rungs are distinct TRACEBACK strategies; their ACS
+        # forward takes the Pallas decisions kernel whenever the
+        # hardware supports it — a shipped rung never runs a slower
+        # forward than the backend allows, mirroring the reference
+        # ladder where every shipped kernel uses the best ISA for its
+        # job and the slow SSE4.1 was disabled outright
+        # (deconvolve.cpp:443-545; VERDICT r4 next #1)
+        from .ops import acs_pallas
+        decisions, _ = acs_pallas.forward(syms, framebits + C.TAIL_BITS)
+    else:
+        decisions, _ = acs.forward(syms, framebits + C.TAIL_BITS)
     if variant == "jax_blocked":
         block = st.config.traceback_block
         if framebits % block != 0:
@@ -171,28 +225,25 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
     low byte of each is significant). ``output``: optional uint8 buffer
     of >= ceil(framebits/8) bytes, written in place.
 
-    Intentional contract restriction vs the reference: ``framebits``
-    must be a multiple of 8.  The reference accepts any framebits and
-    leaves the final byte holding the last 8 decoded bits of the shift
-    register (chainback.inc writes output[t>>3] every step), a layout no
-    caller consumes — DAB framebits are always bitrate*24.  Rejecting
-    odd sizes here keeps the packed-byte output well defined.
+    Any framebits in [1, MAX_FRAMEBITS] is accepted, as in the
+    reference; for framebits % 8 != 0 the final byte holds the
+    remaining bits MSB-aligned over zero low bits (chainback.inc:18-41
+    — see ``_decode_arbitrary`` for the exact derivation and the odd-
+    framebits caveat). DAB traffic is always byte-granular
+    (framebits = bitrate*24), so the off-grid path favors contract
+    fidelity over speed.
     """
     if symbols is None or framebits is None:
         # the reference would fault on the null deref inside the kernel
         # (fault-injection test b, viterbi-benchmark.cpp:444-481)
         raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
-    # framebits must be byte-granular: the output contract is MSB-first
-    # packed bytes (chainback.inc:18-41 writes output[t>>3]).  Rejecting
-    # here keeps a caller typo a ValidationError instead of a reshape
-    # failure deep in the kernel that would latch safe mode for everyone.
-    if (framebits <= 0 or framebits % 8 or framebits > C.MAX_FRAMEBITS):
+    if framebits <= 0 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
     syms = np.asarray(symbols).reshape(-1)
     if syms.size < C.RATE * (framebits + C.TAIL_BITS):
         raise faults.ValidationError("symbol buffer too short")
-    if output is not None and _buf_len(output) < framebits // 8:
+    if output is not None and _buf_len(output) < -(-framebits // 8):
         raise faults.ValidationError("output buffer too short")
     with calllog.record("deco", framebits=framebits) as rec:
         rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)])
@@ -205,11 +256,11 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
 
 @faults.guarded((_SAFE, None))
 def deconvolve_batch(framebits: int, symbols_batch) -> tuple[int, np.ndarray]:
-    """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, fb//8])."""
+    """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, ceil(fb/8)])."""
     if symbols_batch is None:
         raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
-    if framebits <= 0 or framebits % 8 or framebits > C.MAX_FRAMEBITS:
+    if framebits <= 0 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
     syms = np.asarray(symbols_batch)
     if syms.ndim != 2 or syms.shape[1] < C.RATE * (framebits + C.TAIL_BITS):

@@ -113,15 +113,26 @@ def device_speed_test(variant: int, loops: int = 30, batch: int | None = None,
                  if framebits % b == 0)
     interpret = not on_tpu
     if batch is None:
-        # 256 matches the API-path report batch and keeps the pure-JAX
-        # variants' traceback working sets bounded (chainback_blocked
-        # materializes [T, B, 64] predecessor maps — ~3 GB at B=4096)
-        batch = 256 if on_tpu else (8 if interpret and "pallas" in name
-                                    else 64)
+        # steady-state batch: large enough that the tunnel's per-call
+        # fixed cost (~2.4-3 ms, LATENCY_TPU.json) doesn't swamp the
+        # kernel time being compared — the reference's in-process calls
+        # pay no such tax (viterbi-benchmark.cpp:404-438)
+        batch = 1024 if on_tpu else (8 if interpret and "pallas" in name
+                                     else 64)
     nsteps = framebits + C.TAIL_BITS
     rng = np.random.default_rng(0)
     syms = jnp.asarray(rng.integers(0, 256, (batch, C.RATE * nsteps),
                                     dtype=np.int64).astype(np.int32))
+
+    # the jax_* rungs are distinct TRACEBACK strategies; on TPU their
+    # ACS forward takes the Pallas decisions kernel (api._decode_batch
+    # does the same — no shipped rung runs a slower forward than the
+    # backend supports, VERDICT r4 next #1)
+    if on_tpu:
+        from ..ops import acs_pallas as _fwd_mod
+        fwd = _fwd_mod.forward
+    else:
+        fwd = acs.forward
 
     if name == "pallas_fused":
         from ..ops import acs_pallas
@@ -133,14 +144,17 @@ def device_speed_test(variant: int, loops: int = 30, batch: int | None = None,
 
         def decode(s):
             dec, _ = acs_pallas.forward(s, nsteps, interpret=interpret)
+            if framebits % 24 == 0:
+                return tb.chainback_words_pallas(dec, framebits,
+                                                 interpret=interpret)
             return tb.chainback_blocked(dec, framebits, block=block)
     elif name == "jax_blocked":
         def decode(s):
-            dec, _ = acs.forward(s, nsteps)
+            dec, _ = fwd(s, nsteps)
             return tb.chainback_blocked(dec, framebits, block=block)
     else:
         def decode(s):
-            dec, _ = acs.forward(s, nsteps)
+            dec, _ = fwd(s, nsteps)
             return tb.chainback_scan(dec, framebits)
 
     fn = jax.jit(lambda s: decode(s)[:128])

@@ -76,11 +76,12 @@ def _batch_tile(B: int, b_tile: int) -> tuple[int, int]:
     return Bp, bt
 
 
-def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
-            met_ref, metrics):
+def _kernel(nsteps: int, time_chunk: int, packed: bool, sym_ref, init_ref,
+            dec_ref, met_ref, metrics):
     """Grid step: ``time_chunk`` trellis steps over [64, B] metrics.
 
-    sym_ref:  [time_chunk, 4, B] int32 soft symbols (this chunk)
+    sym_ref:  [time_chunk, 4, B] int32 soft symbols (this chunk), or
+              [time_chunk, 1, B] one-int32-per-step with ``packed``
     init_ref: [64, B] int32 initial metrics
     dec_ref:  [time_chunk, 2, B] uint32 packed decisions (out)
     met_ref:  [64, B] int32 final metrics (out)
@@ -106,12 +107,16 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
     weights = jnp.left_shift(jnp.int32(1), srow % 32)          # [64, B]
 
     def one_step(t, metrics_val):
-        s4 = sym_ref[pl.ds(t, 1)][0]                           # [4, B]
+        if packed:
+            srow = sym_ref[pl.ds(t, 1)][0]                     # [1, B]
+            sq = [(srow >> (8 * j)) & 255 for j in range(4)]
+        else:
+            s4 = sym_ref[pl.ds(t, 1)][0]                       # [4, B]
+            sq = [s4[j][None, :] & 0xFF for j in range(4)]
         # branch metric avg-tree with polarity selects
         a = []
         for j in range(4):
-            sj = (s4[j][None, :] & 0xFF)                       # [1, B]
-            sj = jnp.broadcast_to(sj, (32, B))
+            sj = jnp.broadcast_to(sq[j], (32, B))
             a.append(jnp.where(pol[j] != 0, 255 - sj, sj))
         avg = lambda x, y: (x + y + 1) >> 1
         m = (avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2) & 63  # [32, B]
@@ -129,9 +134,9 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
         dec = jnp.stack([(p1e <= p0e).astype(jnp.int32),
                          (p1o <= p0o).astype(jnp.int32)],
                         axis=1).reshape(64, B)
-        packed = jnp.sum((dec * weights)
+        dwords = jnp.sum((dec * weights)
                          .reshape(2, 32, B), axis=1, dtype=jnp.int32)
-        return new, jax.lax.bitcast_convert_type(packed, jnp.uint32)
+        return new, jax.lax.bitcast_convert_type(dwords, jnp.uint32)
 
     def pair(i, mcur):
         # metrics ride the loop carry (vector registers) — a scratch
@@ -140,9 +145,9 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
         for sub in range(2):
             t = t0 + sub
             live = step0 + t < nsteps
-            new, packed = one_step(t, mcur)
+            new, dwords = one_step(t, mcur)
             mcur = jnp.where(live, new, mcur)
-            dec_ref[pl.ds(t, 1)] = packed[None]
+            dec_ref[pl.ds(t, 1)] = dwords[None]
         # renormalize only for live pairs, else frozen metrics would keep
         # draining by 63 on every padded step
         pair_live = step0 + t0 < nsteps
@@ -157,15 +162,18 @@ def _kernel(nsteps: int, time_chunk: int, sym_ref, init_ref, dec_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
-                                    "b_tile"))
+                                    "b_tile", "packed"))
 def forward(symbols: jax.Array, nsteps: int,
             initial_metrics: jax.Array | None = None,
             time_chunk: int = TIME_CHUNK, interpret: bool = False,
-            b_tile: int = 1024):
+            b_tile: int = 1024, packed: bool | str = False):
     """Pallas twin of ops.acs.forward.
 
-    ``symbols``: [B, >=4*nsteps] int32. Returns (decisions
-    uint32[nsteps, B, 2], final_metrics int32[B, 64]).
+    ``symbols``: [B, >=4*nsteps] int32 — or pre-packed one-int32-per-
+    step (``pack_symbols``/``pack_symbols_host``): time-major
+    [nsteps, B] with ``packed=True``, or frame-major [B, nsteps] with
+    ``packed="bt"`` (the host-natural ingest layout, 4x less transfer).
+    Returns (decisions uint32[nsteps, B, 2], final_metrics int32[B, 64]).
 
     The batch is tiled to ``b_tile`` lanes per grid step (batch-major
     grid, full trellis per tile) so large batches stay inside the
@@ -173,16 +181,28 @@ def forward(symbols: jax.Array, nsteps: int,
     allocation vs the 16 MB limit (round-4 harness run).
     """
     assert nsteps % 2 == 0
-    B = symbols.shape[0]
+    if packed == "bt":
+        symbols = symbols.T                  # [B, nsteps] -> [nsteps, B]
+        packed = True
+    B = symbols.shape[1] if packed else symbols.shape[0]
     Bp, bt = _batch_tile(B, b_tile)
     nbt = Bp // bt
     nchunks = (nsteps + time_chunk - 1) // time_chunk
     Tp = nchunks * time_chunk
 
-    syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
-    # [B, 4*nsteps] -> [Tp, 4, Bp]
-    syms = syms.T.reshape(nsteps, 4, B)
-    syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+    if packed:
+        assert symbols.shape[0] >= nsteps
+        syms = symbols[:nsteps].astype(jnp.int32)[:, None, :]
+        syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+        sym_spec = pl.BlockSpec((time_chunk, 1, bt), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        syms = symbols[:, : 4 * nsteps].astype(jnp.int32)
+        # [B, 4*nsteps] -> [Tp, 4, Bp]
+        syms = syms.T.reshape(nsteps, 4, B)
+        syms = jnp.pad(syms, ((0, Tp - nsteps), (0, 0), (0, Bp - B)))
+        sym_spec = pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
+                                memory_space=pltpu.VMEM)
 
     if initial_metrics is None:
         row = jax.lax.broadcasted_iota(jnp.int32, (64, Bp), 0)
@@ -191,13 +211,12 @@ def forward(symbols: jax.Array, nsteps: int,
         init = jnp.pad(initial_metrics.astype(jnp.int32).T,
                        ((0, 0), (0, Bp - B)), constant_values=63)
 
-    kernel = functools.partial(_kernel, nsteps, time_chunk)
+    kernel = functools.partial(_kernel, nsteps, time_chunk, packed)
     decisions, fmetrics = pl.pallas_call(
         kernel,
         grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
         in_specs=[
-            pl.BlockSpec((time_chunk, 4, bt), lambda i, j: (j, 0, i),
-                         memory_space=pltpu.VMEM),
+            sym_spec,
             pl.BlockSpec((64, bt), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],

