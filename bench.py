@@ -233,12 +233,17 @@ def main():
         result["rs_codewords_per_s_with_uncorrectable"] = round(
             n_cw / rs_dt_abort, 1)
 
-        # chained deconvolve -> RS superframe pipeline (config 3)
+        # chained deconvolve -> RS superframe pipeline (config 3),
+        # through the SHARDED ensemble entry point (a 1-device data
+        # mesh here; the same call scales across chips — VERDICT r4
+        # next #3)
+        from viterbi_tpu.parallel import mesh as mesh_mod
         n_sf = int(os.environ.get("BENCH_SUPERFRAMES", 512))
         sf_syms = jnp.asarray(rng.integers(
             0, 256, (n_sf, 5, C.RATE * nsteps), dtype=np.int32))
-        sf_fn = jax.jit(lambda s: dab.decode_audio_superframes(
-            s, framebits // 24, use_pallas=use_pallas)[1][:128])
+        sf_mesh = mesh_mod.make_mesh(n_data=1, n_seq=1)
+        sf_fn = jax.jit(lambda s: dab.decode_ensemble_sharded(
+            s, framebits // 24, sf_mesh, use_pallas=use_pallas)[1][:128])
         sf_dt = _timeit(sf_fn, (sf_syms,), max(5, iters // 8), 3)
         result["superframes_per_s"] = round(n_sf / sf_dt, 1)
     except Exception as e:  # headline metric already printed above

@@ -62,6 +62,8 @@ def main():
             return np.asarray(acs_pallas.decode(syms, framebits, geom="x6"))
         if variant == "pallas":
             dec, _ = acs_pallas.forward(syms, framebits + C.TAIL_BITS)
+            if framebits % 24 == 0:   # the shipped rung's fast walk (r5)
+                return np.asarray(tb.chainback_words_pallas(dec, framebits))
             return np.asarray(tb.chainback_blocked(dec, framebits, block=64))
         dec, _ = acs.forward(syms, framebits + C.TAIL_BITS)
         if variant == "jax_blocked":
@@ -239,15 +241,22 @@ def main():
         lb_bad += int(not np.array_equal(out[:4], expect))
         dec2, _ = acs.forward(jnp.asarray(syms[:B_lb // 2]), fb_lb + 6)
         out2 = np.asarray(tb.chainback_blocked(dec2, fb_lb, block=64))
+        # round-5: the decision-word Pallas walk at full production
+        # batch (the shipped `pallas` rung traceback) — same lesson as
+        # the flip+transpose find: test compiled at the real batch
+        out3 = np.asarray(tb.chainback_words_pallas(dec, fb_lb))
         cell_bad = (int(not np.array_equal(out[:4], expect))
-                    + int(not np.array_equal(out2[:4], expect)))
-        lb_bad += int(not np.array_equal(out2[:4], expect))
+                    + int(not np.array_equal(out2[:4], expect))
+                    + int(not np.array_equal(out3[:4], expect)))
+        lb_bad += (int(not np.array_equal(out2[:4], expect))
+                   + int(not np.array_equal(out3[:4], expect)))
         print(f"  large-batch fb={fb_lb} B={B_lb}: "
               f"{'ok' if cell_bad == 0 else 'MISMATCH'}", flush=True)
     record("large_batch_blocked", mismatch_cells=lb_bad,
-           note="pallas/jax decisions + blocked traceback at B in "
-                "{512..1024} — guards the round-4 flip+transpose "
-                "miscompile fix and the lazy-map memory fix")
+           note="pallas/jax decisions + blocked AND decision-word-walk "
+                "tracebacks at B in {512..1024} — guards the round-4 "
+                "flip+transpose miscompile fix and the round-5 rung "
+                "walks at production batches")
 
     # ------- chained DAB+ superframe pipeline vs golden composition ----
     kbps = 96
@@ -304,6 +313,45 @@ def main():
                                              use_pallas=True))
     record("streaming_1chip", frames=n, stream_bits=stream_bits,
            mismatch_frames=int((out != expect).any(axis=1).sum()))
+
+    # ------- arbitrary framebits via the public API (round 5) --------
+    # The reference accepts ANY framebits (chainback.inc partial-byte
+    # contract); api.deconvolve now matches — verify the compiled
+    # off-grid path on chip vs golden, incl. odd sizes.
+    import viterbi_tpu as api_pkg
+    api_pkg.initialize()
+    arb_cells = []
+    arb_bad = 0
+    rnga = np.random.default_rng(600)
+    for fb_a in (1, 7, 9, 50, 100, 9215):
+        n = 2 if args.quick else 4
+        _, syms_a = channel.make_frames(n, fb_a, seed=600 + fb_a)
+        expect = np.stack([golden.deconvolve(fb_a, s) for s in syms_a])
+        ret, out = api_pkg.deconvolve_batch(fb_a, syms_a)
+        bad = int(ret != 0) or int((np.asarray(out) != expect)
+                                   .any(axis=1).sum())
+        arb_bad += bad
+        arb_cells.append(dict(framebits=fb_a, frames=n,
+                              mismatch_frames=int(bad)))
+    record("arbitrary_framebits", cells=arb_cells,
+           mismatch_frames=arb_bad,
+           note="off-byte-grid framebits through the public API on "
+                "chip vs golden (reference partial-byte contract)")
+
+    # ------- sharded DAB+ ensemble chain (one jitted call) -----------
+    ens_mesh = mesh_mod.make_mesh(n_data=1, n_seq=1,
+                                  devices=jax.devices()[:1])
+    audio_sh, errors_sh = dab.decode_ensemble_sharded(
+        jnp.asarray(sf_syms), kbps, ens_mesh, use_pallas=True)
+    audio_sh, errors_sh = np.asarray(audio_sh), np.asarray(errors_sh)
+    ens_mm = int((errors_sh != g_errors).sum())
+    ens_mm += sum(int(not np.array_equal(audio_sh[b], g_audio[b]))
+                  for b in range(cfgB) if g_errors[b] != -1)
+    record("sharded_ensemble_chain", superframes=cfgB, kbps=kbps,
+           mismatch_superframes=ens_mm,
+           note="decode_ensemble_sharded (shard_map DP entry, 1-chip "
+                "mesh here; 8-way sharding exercised in "
+                "dryrun_multichip) vs the golden composition")
 
     # ---- jax_scan small-frame cost breakdown (VERDICT r3 weak #7) ----
     # The round-3 sweep's 132.8 s jax_scan/8kbps cell was the FIRST cell

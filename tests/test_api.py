@@ -421,3 +421,12 @@ def test_calllog_thread_and_buffer_identity_tracing(tmp_path):
     assert log.count("first seen") >= 2      # attach lines per thread
     assert "buffer identity: 2 distinct arrays" in log
     assert "thread" in log and "last seen" in log
+
+
+def test_ebno_sweep_golden_anchor():
+    """The harness's absolute-BER anchor (golden equality at multiple
+    Eb/N0 points) passes on the CPU backend at a small size."""
+    from viterbi_tpu.harness import benchmark
+    out = benchmark.ebno_sweep(points=(2.0, 4.0), frames=6, framebits=96)
+    assert out["ok"], out
+    assert set(out["points"]) == {"2.0", "4.0"}

@@ -57,3 +57,25 @@ def test_superframe_batch_and_geometry():
     for i, (cfg_i, audio, _) in enumerate(fixtures):
         got = out[i].reshape(C.RS_KK, cfg.rs_dims).T
         assert np.array_equal(got, audio), f"superframe {i}"
+
+
+def test_superframe_ensemble_sharded_matches_unsharded():
+    """The one-call sharded DAB+ chain (VERDICT r4 next #3) on the
+    8-device mesh must equal the single-device pipeline exactly."""
+    import jax
+    rng = np.random.default_rng(8)
+    fixtures = [_make_superframe_fixture(rng,
+                                         corrupt_bytes=(i % 3))
+                for i in range(8)]
+    syms = np.stack([f[2] for f in fixtures])
+    from viterbi_tpu.parallel import mesh as mesh_mod
+    mesh = mesh_mod.make_mesh(n_data=8, n_seq=1)
+    audio_s, errs_s = dab.decode_ensemble_sharded(syms, 32, mesh)
+    audio_u, errs_u = dab.decode_audio_superframes(
+        np.asarray(syms, dtype=np.int32), 32)
+    assert np.array_equal(np.asarray(audio_s), np.asarray(audio_u))
+    assert np.array_equal(np.asarray(errs_s), np.asarray(errs_u))
+    for i, (cfg, audio, _) in enumerate(fixtures):
+        got = np.asarray(audio_s)[i].reshape(C.RS_KK, cfg.rs_dims).T
+        if (i % 3) <= 5:                     # all fixtures correctable
+            assert np.array_equal(got, audio), i

@@ -178,3 +178,58 @@ def test_local_stream_decoder_long_stream_pallas():
     out = np.asarray(dec(syms[:, :4 * stream_bits],
                          syms[:, 4 * stream_bits:]))
     assert np.array_equal(out, _whole_stream_decode(syms, stream_bits))
+
+
+@pytest.mark.parametrize("chunk_frames", [1, 5])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_stream_session_matches_one_shot(chunk_frames, use_pallas):
+    """Chunked-arrival StreamSession (VERDICT r4 next #4): pushing 24 ms
+    frames and flushing must reproduce the one-shot decode bit for bit
+    on noisy 3 dB streams, for every chunk size."""
+    from viterbi_tpu.parallel.session import StreamSession
+    framebits = 768
+    n_frames = 10
+    B = 2
+    stream_bits = framebits * n_frames
+    bits, syms = channel.make_frames(B, stream_bits, seed=41)
+    syms = syms.astype(np.int32)
+    data, tail = syms[:, :4 * stream_bits], syms[:, 4 * stream_bits:]
+
+    sess = StreamSession(B, use_pallas=use_pallas, interpret=use_pallas)
+    outs = []
+    step = 4 * framebits * chunk_frames
+    for i in range(0, data.shape[1], step):
+        outs.append(sess.push(data[:, i:i + step]))
+    outs.append(sess.flush(tail))
+    got = np.concatenate(outs, axis=1)
+    assert got.shape[1] == stream_bits // 8
+    assert np.array_equal(got, _whole_stream_decode(syms, stream_bits))
+    assert sess.emitted_bits == stream_bits
+    with pytest.raises(RuntimeError):
+        sess.push(data[:, :step])
+
+
+def test_stream_session_tiny_pushes_and_validation():
+    """Sub-frame pushes (any even step count) accumulate correctly; bad
+    shapes raise descriptive errors."""
+    from viterbi_tpu.parallel.session import StreamSession
+    framebits = 480
+    B = 2
+    bits, syms = channel.make_frames(B, framebits, seed=43)
+    syms = syms.astype(np.int32)
+    data, tail = syms[:, :4 * framebits], syms[:, 4 * framebits:]
+    sess = StreamSession(B, use_pallas=False)
+    outs = []
+    # irregular even-step chunks: 50, 96, 238, then the rest
+    cuts = [0, 200, 584, 1536, data.shape[1]]
+    for a, b in zip(cuts, cuts[1:]):
+        outs.append(sess.push(data[:, a:b]))
+    outs.append(sess.flush(tail))
+    got = np.concatenate(outs, axis=1)
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    assert np.array_equal(got, expect)
+    s2 = StreamSession(B)
+    with pytest.raises(ValueError, match="even"):
+        s2.push(np.zeros((B, 4), dtype=np.int32))      # odd step count
+    with pytest.raises(ValueError, match="tail"):
+        s2.flush(np.zeros((B, 7), dtype=np.int32))

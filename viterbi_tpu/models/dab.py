@@ -89,7 +89,11 @@ def decode_audio_superframes(symbols: jax.Array, bitrate_kbps: int,
         frame_bytes = acs_pallas.decode(flat, cfg.framebits)
     else:
         decisions, _ = acs.forward(flat, cfg.framebits + C.TAIL_BITS)
-        frame_bytes = traceback.chainback_scan(decisions, cfg.framebits)
+        block = next(b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1)
+                     if cfg.framebits % b == 0)
+        frame_bytes = traceback.chainback_blocked(decisions,
+                                                  cfg.framebits,
+                                                  block=block)
 
     sf = bytes_to_superframes(
         frame_bytes.reshape(B, SUPERFRAME_FRAMES, cfg.frame_bytes), cfg)
@@ -107,6 +111,52 @@ def decode_audio_superframes(symbols: jax.Array, bitrate_kbps: int,
     audio = corrected[:, :, :C.RS_KK].transpose(0, 2, 1).reshape(
         B, cfg.rs_dims * C.RS_KK).astype(jnp.uint8)
     return audio, errors
+
+
+def decode_ensemble_sharded(symbols, bitrate_kbps: int, mesh=None,
+                            use_pallas: bool | None = None):
+    """The full DAB+ audio chain as ONE jitted SHARDED call: a batch of
+    subchannel superframes -> Viterbi -> superframe assembly -> RS ->
+    audio bytes + error counts, data-parallel over the mesh's data axis
+    (VERDICT r4 next #3 — the QIRX composition the DLL serves,
+    rschecksf.cpp:58-93, scaled across chips instead of host threads).
+
+    ``symbols``: int[B, 5, 4*(framebits+6)], B divisible by the data-
+    axis size. Returns (audio uint8[B, rs_dims*110], errors int32[B]).
+    Composes with SP streaming: a subchannel whose frames arrive as one
+    long stream can decode via parallel.streaming first, then feed the
+    RS stage here.
+    """
+    from ..parallel import mesh as mesh_mod
+
+    if mesh is None:
+        mesh = mesh_mod.make_mesh(n_data=len(jax.devices()), n_seq=1)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    return _ensemble_decoder(bitrate_kbps, mesh, use_pallas)(
+        jnp.asarray(symbols, dtype=jnp.int32))
+
+
+@lru_cache(maxsize=32)
+def _ensemble_decoder(bitrate_kbps: int, mesh, use_pallas: bool):
+    """Cached jitted sharded chain (a fresh closure per call would
+    recompile every invocation; Mesh is hashable)."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as mesh_mod
+
+    def body(s):
+        return decode_audio_superframes(s, bitrate_kbps,
+                                        use_pallas=use_pallas)
+
+    sharded = _jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(mesh_mod.DATA_AXIS, None, None),),
+        out_specs=(P(mesh_mod.DATA_AXIS, None),
+                   P(mesh_mod.DATA_AXIS)),
+        check_vma=False)
+    return _jax.jit(sharded)
 
 
 def depuncture_device(received: jax.Array, mask) -> jax.Array:

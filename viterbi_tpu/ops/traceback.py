@@ -64,9 +64,13 @@ def packbits_msb(bits: jax.Array) -> jax.Array:
 
 
 def _decision_bit(dec_words: jax.Array, state: jax.Array) -> jax.Array:
-    """dec_words: [B, 2] uint32; state: [B] int32 -> bit [B] int32."""
-    word = jnp.take_along_axis(
-        dec_words.astype(jnp.int32), (state >> 5)[:, None], axis=1)[:, 0]
+    """dec_words: [B, 2] uint32; state: [B] int32 -> bit [B] int32.
+
+    Elementwise select over the two words — take_along_axis here lowers
+    to a per-element gather on XLA:TPU (round-5 measurement: the scan
+    traceback spent most of its time in it)."""
+    w = jax.lax.bitcast_convert_type(dec_words, jnp.int32)
+    word = jnp.where(state >= 32, w[:, 1], w[:, 0])
     return (word >> (state & 31)) & 1
 
 
@@ -199,9 +203,11 @@ def _regs_bytes(rs: jax.Array, framebits: int, ckpt: int,
     return bytes_tm.T.astype(jnp.uint8)
 
 
-def _tb_kernel(kc, K, ckpt, gap, anchor_ref, anchor_k_ref, reg_ref,
+def _tb_kernel(kc, K, Kp, ckpt, gap, anchor_ref, anchor_k_ref, reg_ref,
                rs_ref, state):
     """Checkpoint-walk grid step: ``kc`` checkpoints, newest first.
+    ``Kp >= K`` is the padded checkpoint count (rows >= K are garbage
+    the anchor injection at ``anchor_k <= K-1`` makes irrelevant).
 
     anchor_ref: [1, bt] int32 anchor state per frame (0 for the
     terminated trellis; best end state for tail-biting/streaming);
@@ -238,7 +244,7 @@ def _tb_kernel(kc, K, ckpt, gap, anchor_ref, anchor_k_ref, reg_ref,
     out_rows = [None] * kc
     for m in range(kc):
         kl = kc - 1 - m                     # local row, newest first
-        k = (K - 1) - (j * kc + m)          # global checkpoint index
+        k = (Kp - 1) - (j * kc + m)         # global checkpoint index
         st = jnp.where(anchor_k_ref[0:1] == k, anchor_ref[0:1], st)
         r = select_state(reg_ref[kl], st)   # [1, bt]
         out_rows[kl] = r
@@ -249,12 +255,12 @@ def _tb_kernel(kc, K, ckpt, gap, anchor_ref, anchor_k_ref, reg_ref,
 
 
 def _pick_kc(K: int, bt: int, budget: int = 3 * 2**20) -> int:
-    """Largest divisor of K whose [kc, 64, bt] i32 block fits the budget."""
-    best = 1
-    for d in range(1, K + 1):
-        if K % d == 0 and d * 64 * bt * 4 <= budget:
-            best = d
-    return best
+    """Checkpoints per grid step: the most whose [kc, 64, bt] i32 block
+    fits the budget. K need NOT be a multiple — the launcher pads K up
+    with garbage rows the anchored walk never reads (before round 5 kc
+    had to divide K, and awkward K like 178 = 2*89 degraded to kc=2 —
+    89 tiny grid steps, measured ~4x the walk cost)."""
+    return max(1, min(K, budget // (64 * bt * 4)))
 
 
 def _run_tb_kernel(regs: jax.Array, K: int, ckpt: int, gap: int,
@@ -281,12 +287,16 @@ def _run_tb_kernel(regs: jax.Array, K: int, ckpt: int, gap: int,
         anck = jnp.pad(anchor_k.astype(jnp.int32)[None, :],
                        ((0, 0), (0, Bp - B)),
                        constant_values=K - 1)
-    if Bp != B:
-        regs = jnp.pad(regs, ((0, 0), (0, 0), (0, Bp - B)))
     nbt = Bp // bt
     kc = _pick_kc(K, bt, kc_budget)
-    kb = K // kc
-    kernel = partial(_tb_kernel, kc, K, ckpt, gap)
+    Kp = -(-K // kc) * kc
+    if Bp != B or Kp != K:
+        # top rows (newest side, indices K..Kp-1) are zero padding: the
+        # walk passes through them before reaching the anchor injection
+        # at anchor_k <= K-1, so their garbage never affects the result
+        regs = jnp.pad(regs, ((0, Kp - K), (0, 0), (0, Bp - B)))
+    kb = Kp // kc
+    kernel = partial(_tb_kernel, kc, K, Kp, ckpt, gap)
     rs = pl.pallas_call(
         kernel,
         grid=(nbt, kb),
@@ -304,7 +314,7 @@ def _run_tb_kernel(regs: jax.Array, K: int, ckpt: int, gap: int,
         scratch_shapes=[pltpu.VMEM((8, bt), jnp.int32)],
         interpret=interpret,
     )(anc, anck, regs)
-    return rs.reshape(K, Bp)[:, :B]
+    return rs.reshape(Kp, Bp)[:K, :B]
 
 
 @partial(jax.jit, static_argnames=("framebits", "ckpt", "b_tile",
@@ -463,13 +473,14 @@ def chainback_words_pallas(decisions: jax.Array, framebits: int,
 
 
 @partial(jax.jit, static_argnames=("emit_bits", "ckpt", "b_tile",
-                                   "interpret", "kc_budget"))
+                                   "interpret", "kc_budget", "offset"))
 def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
                                    anchor_state: jax.Array,
                                    emit_bits: int, ckpt: int,
                                    b_tile: int = 512,
                                    kc_budget: int = 3 * 2**20,
-                                   interpret: bool = False) -> jax.Array:
+                                   interpret: bool = False,
+                                   offset: int = 0) -> jax.Array:
     """Anchored checkpoint walk for block-overlapped streaming
     (VERDICT r4 next #2: the streaming traceback was the slow XLA-scan
     form — this runs the same binary-tournament Pallas walk as the
@@ -480,9 +491,10 @@ def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
     overlap) region, ckpt | nsteps exactly; ``anchor_k``: int32[B]
     checkpoint index where ``anchor_state`` (int32[B]) is injected;
     checkpoints above it hold garbage the emit window never reads.
-    Emits the first ``emit_bits`` (multiple of 8, <= (K-1)*ckpt + the
-    anchor margin) decoded bits: uint8[B, emit_bits // 8]. Bit-exact vs
-    the XLA-scan anchored walk (parallel.streaming tests).
+    Emits ``emit_bits`` (multiple of 8) decoded bits starting at
+    trellis step ``offset`` (the forward's dead front pad):
+    uint8[B, emit_bits // 8]. Bit-exact vs the XLA-scan anchored walk
+    (parallel.streaming tests).
     """
     assert ckpt <= 24 and emit_bits % 8 == 0
     K = regs.shape[0]
@@ -492,7 +504,7 @@ def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
     # argument extends the byte->window map past the emit region so the
     # final emit byte indexes its true window (not a truncated one)
     return _regs_bytes(rs, emit_bits, ckpt, gap=ckpt,
-                       tail=K * ckpt - emit_bits)
+                       tail=K * ckpt - offset - emit_bits, offset=offset)
 
 
 @partial(jax.jit, static_argnames=("framebits", "block"))

@@ -181,34 +181,61 @@ def make_stream_decoder(mesh, stream_bits: int,
         is_last = d == n_seq - 1
 
         if use_pallas:
+            # pack to one int32 per trellis step FIRST: the prefix
+            # ppermute then moves 4x fewer bytes over ICI, every
+            # slice/concat moves 4x less HBM, and the packed time-major
+            # layout feeds the kernel with no device transpose
+            # (unpacked glue measured ~35% of the local streaming
+            # decode at N=6144)
             from ..ops import acs_pallas
             fwd = functools.partial(acs_pallas.forward_regs, ckpt=ckpt,
-                                    interpret=interpret)
+                                    packed=True, interpret=interpret)
+            ps = acs_pallas.pack_symbols(syms, tb_block)      # [blk, B]
+            warm_syms = ps[tb_block - warm:]
+            init1 = jnp.where(is_first,
+                              acs.init_metrics(B), _uniform_metrics(B))
+            if warm < tb_block:
+                _, bmetrics = fwd(warm_syms, warm, initial_metrics=init1)
+            else:
+                _, bmetrics = fwd(ps, tb_block, initial_metrics=init1)
+            recv_metrics = jax.lax.ppermute(bmetrics, mesh_mod.SEQ_AXIS,
+                                            right)
+            entry = jnp.where(is_first, acs.init_metrics(B),
+                              recv_metrics)
+            prefix = ps[:overlap]                       # [overlap, B]
+            recv_prefix = jax.lax.ppermute(prefix, mesh_mod.SEQ_AXIS,
+                                           left)
+            tail_ext = jnp.concatenate(
+                [acs_pallas.pack_symbols(tail_syms, C.TAIL_BITS),
+                 jnp.zeros((overlap - C.TAIL_BITS, B), jnp.int32)],
+                axis=0)
+            ext = jnp.where(is_last, tail_ext, recv_prefix)
+            full = jnp.concatenate([ps, ext], axis=0)   # [blk+ovl, B]
         else:
             fwd = acs.forward
-
-        # (1) warm-up ACS over the block tail -> boundary metrics
-        warm_syms = syms[:, -C.RATE * warm:]
-        init1 = jnp.where(is_first,
-                          acs.init_metrics(B), _uniform_metrics(B))
-        if warm < tb_block:
-            _, bmetrics = fwd(warm_syms, warm, initial_metrics=init1)
-        else:
-            _, bmetrics = fwd(syms, tb_block, initial_metrics=init1)
-
-        # (2) boundary metrics ride the ICI ring to the right neighbor
-        recv_metrics = jax.lax.ppermute(bmetrics, mesh_mod.SEQ_AXIS, right)
-        entry = jnp.where(is_first, acs.init_metrics(B), recv_metrics)
-
-        # (3) overlap symbols from the right neighbor's prefix
-        prefix = syms[:, : C.RATE * overlap]
-        recv_prefix = jax.lax.ppermute(prefix, mesh_mod.SEQ_AXIS, left)
-        tail_ext = jnp.concatenate(
-            [tail_syms,
-             jnp.zeros((B, C.RATE * (overlap - C.TAIL_BITS)), syms.dtype)],
-            axis=1)
-        ext = jnp.where(is_last, tail_ext, recv_prefix)
-        full = jnp.concatenate([syms, ext], axis=1)
+            # (1) warm-up ACS over the block tail -> boundary metrics
+            warm_syms = syms[:, -C.RATE * warm:]
+            init1 = jnp.where(is_first,
+                              acs.init_metrics(B), _uniform_metrics(B))
+            if warm < tb_block:
+                _, bmetrics = fwd(warm_syms, warm, initial_metrics=init1)
+            else:
+                _, bmetrics = fwd(syms, tb_block, initial_metrics=init1)
+            # (2) boundary metrics ride the ICI ring to the right
+            recv_metrics = jax.lax.ppermute(bmetrics, mesh_mod.SEQ_AXIS,
+                                            right)
+            entry = jnp.where(is_first, acs.init_metrics(B),
+                              recv_metrics)
+            # (3) overlap symbols from the right neighbor's prefix
+            prefix = syms[:, : C.RATE * overlap]
+            recv_prefix = jax.lax.ppermute(prefix, mesh_mod.SEQ_AXIS,
+                                           left)
+            tail_ext = jnp.concatenate(
+                [tail_syms,
+                 jnp.zeros((B, C.RATE * (overlap - C.TAIL_BITS)),
+                           syms.dtype)], axis=1)
+            ext = jnp.where(is_last, tail_ext, recv_prefix)
+            full = jnp.concatenate([syms, ext], axis=1)
 
         hist, fmetrics = fwd(full, tb_block + overlap,
                              initial_metrics=entry)
@@ -316,11 +343,12 @@ def make_local_stream_decoder(stream_bits: int, n_blocks: int,
                     f"overlap (ckpt {ckpt})")
         warm = max(ckpt, warm - warm % ckpt)
 
-    def _fwd(syms, nsteps, init):
+    def _fwd(syms, nsteps, init, packed=False):
         if use_pallas:
             from ..ops import acs_pallas
             return acs_pallas.forward_regs(syms, nsteps, ckpt=ckpt,
                                            initial_metrics=init,
+                                           packed=packed,
                                            interpret=interpret)
         return acs.forward(syms, nsteps, initial_metrics=init)
 
@@ -328,19 +356,56 @@ def make_local_stream_decoder(stream_bits: int, n_blocks: int,
     def decode(symbols, tail_syms):
         B = symbols.shape[0]
         N = B * n_blocks
-        blocks = symbols.astype(jnp.int32).reshape(B, n_blocks,
-                                                   C.RATE * blk)
-        flat = blocks.reshape(N, C.RATE * blk)
         first = (jnp.arange(N, dtype=jnp.int32) % n_blocks) == 0
         last = (jnp.arange(N, dtype=jnp.int32) % n_blocks) == n_blocks - 1
-
-        # (1) warm-up ACS over each block's tail -> boundary metrics
         init1 = jnp.where(first[:, None], acs.init_metrics(N),
                           _uniform_metrics(N))
-        if warm < blk:
-            _, bmet = _fwd(flat[:, -C.RATE * warm:], warm, init1)
+
+        if use_pallas:
+            # pack to one int32 per trellis step FIRST: every later
+            # slice/shift/concat then moves 4x fewer bytes, and the
+            # packed time-major layout feeds the kernel with no device
+            # transpose (unpacked glue measured ~35% of the whole
+            # streaming decode at N=6144: pure HBM traffic)
+            from ..ops import acs_pallas
+            ps = acs_pallas.pack_symbols(symbols, stream_bits)   # [T, B]
+            ps = ps.reshape(n_blocks, blk, B).transpose(1, 2, 0) \
+                .reshape(blk, N)                # [blk, N], col = b*nb+d
+            ptail = acs_pallas.pack_symbols(tail_syms, C.TAIL_BITS)
+            warm_syms = ps[blk - warm:]
+            prefix = ps[:overlap]               # [overlap, N]
+            nxt = jnp.roll(prefix.reshape(overlap, B, n_blocks), -1,
+                           axis=2).reshape(overlap, N)
+            tail_ext = jnp.concatenate(
+                [jnp.repeat(ptail, n_blocks, axis=1),
+                 jnp.zeros((overlap - C.TAIL_BITS, N), jnp.int32)],
+                axis=0)
+            ext = jnp.where(last[None, :], tail_ext, nxt)
+            full = jnp.concatenate([ps, ext], axis=0)   # [blk+ovl, N]
+            packed = True
         else:
-            _, bmet = _fwd(flat, blk, init1)
+            blocks = symbols.astype(jnp.int32).reshape(
+                B, n_blocks, C.RATE * blk)
+            flat = blocks.reshape(N, C.RATE * blk)
+            warm_syms = flat[:, -C.RATE * warm:]
+            prefix = flat[:, : C.RATE * overlap]
+            nxt = jnp.roll(prefix.reshape(B, n_blocks, -1), -1, axis=1) \
+                .reshape(N, -1)
+            tail_ext = jnp.concatenate(
+                [jnp.repeat(tail_syms.astype(jnp.int32), n_blocks,
+                            axis=0),
+                 jnp.zeros((N, C.RATE * (overlap - C.TAIL_BITS)),
+                           jnp.int32)], axis=1)
+            ext = jnp.where(last[:, None], tail_ext, nxt)
+            full = jnp.concatenate([flat, ext], axis=1)
+            packed = False
+
+        # (1) warm-up ACS over each block's tail -> boundary metrics
+        if warm < blk:
+            _, bmet = _fwd(warm_syms, warm, init1, packed=packed)
+        else:
+            _, bmet = _fwd(full[:blk] if packed else flat, blk, init1,
+                           packed=packed)
 
         # (2) "ring": block d's entry metrics come from block d-1 — a
         # batch-axis shift instead of a ppermute
@@ -348,18 +413,8 @@ def make_local_stream_decoder(stream_bits: int, n_blocks: int,
             .reshape(N, -1)
         entry = jnp.where(first[:, None], acs.init_metrics(N), shifted)
 
-        # (3) overlap symbols: block d+1's prefix (last block: tail)
-        prefix = flat[:, : C.RATE * overlap]
-        nxt = jnp.roll(prefix.reshape(B, n_blocks, -1), -1, axis=1) \
-            .reshape(N, -1)
-        tail_ext = jnp.concatenate(
-            [jnp.repeat(tail_syms.astype(jnp.int32), n_blocks, axis=0),
-             jnp.zeros((N, C.RATE * (overlap - C.TAIL_BITS)), jnp.int32)],
-            axis=1)
-        ext = jnp.where(last[:, None], tail_ext, nxt)
-        full = jnp.concatenate([flat, ext], axis=1)
-
-        hist, fmet = _fwd(full, blk + overlap, entry)
+        # (3) full-block ACS over block + overlap from the entry metrics
+        hist, fmet = _fwd(full, blk + overlap, entry, packed=packed)
 
         # (4) anchored traceback, overlap truncation
         best = jnp.argmin(fmet, axis=1).astype(jnp.int32)
