@@ -112,9 +112,12 @@ def main():
         f_rate = N * C.RATE * (blk + C.TAIL_BITS) / fdt
 
         # predicted overhead: the streaming ACS runs warm + overlap
-        # extra steps per block (plus boundary shifts, predicted free)
-        ov = streaming.DEFAULT_OVERLAP + 6  # ckpt-rounded 126 at blk 3072
-        pred = (streaming.WARMUP_STEPS + ov) / blk
+        # extra steps per block (plus boundary shifts, predicted free);
+        # use the decoder's OWN rounded values (at blk=3072, ckpt=18:
+        # overlap 120 -> 132, warm 128 -> 126), not the nominal knobs
+        ov_eff, warm_eff, _ = streaming._plan_block_layout(
+            blk, None, None, use_pallas=True)
+        pred = (warm_eff + ov_eff) / blk
         ratio = s_rate / f_rate
         rec = {"frames": B, "n_blocks": n_blocks,
                "stream_gsym_s": round(s_rate / 1e9, 3),

@@ -322,7 +322,6 @@ def main():
     api_pkg.initialize()
     arb_cells = []
     arb_bad = 0
-    rnga = np.random.default_rng(600)
     for fb_a in (1, 7, 9, 50, 100, 9215):
         n = 2 if args.quick else 4
         _, syms_a = channel.make_frames(n, fb_a, seed=600 + fb_a)

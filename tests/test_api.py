@@ -430,3 +430,26 @@ def test_ebno_sweep_golden_anchor():
     out = benchmark.ebno_sweep(points=(2.0, 4.0), frames=6, framebits=96)
     assert out["ok"], out
     assert set(out["points"]) == {"2.0", "4.0"}
+
+
+def test_partial_prefix_write_multidim_noncontiguous():
+    """Self-review r5 confirmed bug: a multi-dim non-contiguous
+    out_vector's reshape(-1) copies, silently losing the -1 prefix
+    write. The write must go through np.unravel_index instead."""
+    rng = np.random.default_rng(12)
+    rs_dims = 8
+    msgs = rng.integers(0, 256, (rs_dims, C.RS_KK), dtype=np.uint8)
+    cws = np.stack([golden.rs_encode_codeword(m)
+                    for m in msgs]).astype(np.int64)
+    pos = rng.choice(C.RS_N, 9, replace=False)
+    cws[3, pos] ^= rng.integers(1, 256, 9)         # codeword 3 fails
+    inter = cws.T.reshape(-1).astype(np.uint8)
+    big = np.full((C.RS_KK, 20), 0xEE, dtype=np.uint8)
+    out2d = big[:, :rs_dims]                       # non-contiguous 2-D
+    assert viterbi_tpu.rs_check_superframe(inter, 0, rs_dims,
+                                           out2d) == -1
+    # row-major flat position j + k*rs_dims == out2d[k, j]
+    for j in range(3):
+        assert np.array_equal(out2d[:, j], msgs[j]), f"codeword {j}"
+    assert (out2d[:, 3:] == 0xEE).all()
+    assert (big[:, rs_dims:] == 0xEE).all()

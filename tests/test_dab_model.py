@@ -77,5 +77,4 @@ def test_superframe_ensemble_sharded_matches_unsharded():
     assert np.array_equal(np.asarray(errs_s), np.asarray(errs_u))
     for i, (cfg, audio, _) in enumerate(fixtures):
         got = np.asarray(audio_s)[i].reshape(C.RS_KK, cfg.rs_dims).T
-        if (i % 3) <= 5:                     # all fixtures correctable
-            assert np.array_equal(got, audio), i
+        assert np.array_equal(got, audio), i   # all fixtures correctable

@@ -246,7 +246,8 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
     if output is not None and _buf_len(output) < -(-framebits // 8):
         raise faults.ValidationError("output buffer too short")
     with calllog.record("deco", framebits=framebits) as rec:
-        rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)])
+        rec.capture_symbols(syms[: C.RATE * (framebits + C.TAIL_BITS)],
+                            source=symbols)
         out = _decode_batch(syms[None, :], framebits)[0]
     if output is not None:
         _buf_write(output, slice(0, out.size), out)
@@ -303,7 +304,7 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
             _buf_len(out_vector) < rs_dims * C.RS_KK:
         raise faults.ValidationError("output buffer too short")
     with calllog.record("rscs", rs_dims=rs_dims) as rec:
-        rec.capture_symbols(buf[: rs_dims * C.RS_N])
+        rec.capture_symbols(buf[: rs_dims * C.RS_N], source=p)
         errors, out, n_ok = rs_ops.rs_check_superframe(
             jnp.asarray(buf[: rs_dims * C.RS_N], dtype=jnp.int32), rs_dims)
     errors = int(errors)
@@ -317,15 +318,19 @@ def rs_check_superframe(p, start_ix: int = 0, rs_dims: int = 0,
             n_ok = int(n_ok)
             src = out.reshape(C.RS_KK, rs_dims)
             if isinstance(out_vector, np.ndarray):
-                # one fancy-index assignment (writes through views of
-                # any contiguity; reshape(-1) of a non-contiguous view
-                # would copy and lose the write, so flatten only when
-                # it is guaranteed to be a view)
-                flat = (out_vector if out_vector.ndim == 1
-                        else out_vector.reshape(-1))
+                # one fancy-index assignment — writes through views of
+                # any contiguity AND any ndim (reshape(-1) of a
+                # non-contiguous multi-dim view would copy and silently
+                # lose the write, so flat positions are unraveled onto
+                # the original array instead)
                 idx = (np.arange(C.RS_KK)[:, None] * rs_dims
-                       + np.arange(n_ok)[None, :])
-                flat[idx.ravel()] = src[:, :n_ok].astype(np.uint8).ravel()
+                       + np.arange(n_ok)[None, :]).ravel()
+                vals = src[:, :n_ok].astype(np.uint8).ravel()
+                if out_vector.ndim == 1:
+                    out_vector[idx] = vals
+                else:
+                    out_vector[np.unravel_index(idx,
+                                                out_vector.shape)] = vals
             else:
                 # plain byte buffers only accept slice assignment
                 end = rs_dims * C.RS_KK

@@ -371,7 +371,7 @@ def chainback_regs_pallas(regs: jax.Array, framebits: int, ckpt: int = 24,
     return out
 
 
-def _tb_words_kernel(tc: int, wc: int, nblk: int, dec_ref, rs_ref, state):
+def _tb_words_kernel(tc: int, wc: int, dec_ref, rs_ref, state):
     """Serial decision-word walk, one time block per grid step.
 
     dec_ref: [tc, 2, bt] int32 decision words (bit s of word s//32 =
@@ -454,7 +454,7 @@ def chainback_words_pallas(decisions: jax.Array, framebits: int,
         dec = jnp.pad(dec, ((0, 0), (0, 0), (0, Bp - B)))
     nbt = Bp // bt
 
-    kernel = partial(_tb_words_kernel, tc, wc, nblk)
+    kernel = partial(_tb_words_kernel, tc, wc)
     rs = pl.pallas_call(
         kernel,
         grid=(nbt, nblk),

@@ -211,14 +211,11 @@ class StreamSession:
 
 def _walk_state_to(decisions, best_state):
     """Walk ``decisions`` [n, B, 2] backward from ``best_state`` at the
-    end; return the state at the segment's start. Elementwise ops only
-    (take_along_axis gathers measured ~7x the walk on this backend)."""
+    end; return the state at the segment's start."""
     import jax.numpy as jnp
 
     def step(state, dec):
-        w = jax.lax.bitcast_convert_type(dec, jnp.int32)
-        word = jnp.where(state >= 32, w[:, 1], w[:, 0])
-        k = (word >> (state & 31)) & 1
+        k = tb._decision_bit(dec, state)
         return (state >> 1) | (k << 5), None
 
     state, _ = jax.lax.scan(step, best_state,

@@ -65,17 +65,80 @@ def _anchored_chainback(decisions, anchor_j, anchor_state, tb_steps: int,
     def step(state, inp):
         j, dec = inp
         state = jnp.where(j == anchor_j, anchor_state, state)
-        word = jnp.take_along_axis(dec.astype(jnp.int32),
-                                   (state >> 5)[:, None], axis=1)[:, 0]
-        k = (word >> (state & 31)) & 1
+        # elementwise select via tb._decision_bit — take_along_axis
+        # lowers to a per-element gather on XLA:TPU (~7x the walk,
+        # round-5 rung fix)
+        k = tb._decision_bit(dec, state)
         return (state >> 1) | (k << 5), k
 
     # anchor_state * 0 keeps the device-varying type for the scan carry
     _, ks = jax.lax.scan(step, anchor_state * 0,
-                         (j_seq, jnp.flip(decisions, axis=0)))
+                         (j_seq, jnp.flip(decisions, axis=0)), unroll=8)
     bits = jnp.flip(ks, axis=0)                    # [tb_steps, B]
     body = bits[C.TAIL_BITS: C.TAIL_BITS + block_steps].T  # [B, block]
     return tb.packbits_msb(body)
+
+
+def _plan_block_layout(blk: int, overlap, warmup, use_pallas: bool):
+    """Shared per-block layout planning for the sharded ring and the
+    single-device virtual ring: validate block granularity, clamp/round
+    the overlap, pick the checkpoint period and the warm-up length.
+
+    Returns ``(overlap, warm, ckpt)`` (ckpt None on the XLA path).
+    Raises descriptive ValueErrors for blocks too small for the
+    mechanism ("use more data bits per device").
+    """
+    explicit = overlap is not None
+    if overlap is None:
+        overlap = DEFAULT_OVERLAP
+    if blk % 8:
+        raise ValueError(
+            f"per-device block of {blk} bits is not byte-granular; "
+            f"use more data bits per device")
+    if not explicit and overlap > blk:
+        # small per-device blocks: clamp the *default* overlap so short
+        # streams keep working (truncation reliability degrades with
+        # the block size anyway); an explicit overlap that doesn't fit
+        # is a caller error and raises below
+        overlap = blk - (blk % 2)
+    if overlap % 2 or overlap < C.TAIL_BITS or overlap > blk:
+        raise ValueError(
+            f"overlap {overlap} does not fit the {blk}-bit per-device "
+            f"block; use more data bits per device or a smaller overlap")
+    warm = min(WARMUP_STEPS if warmup is None else warmup, blk)
+    if not use_pallas:
+        return overlap, warm, None
+    # anchor times (blk + TAIL_BITS for the final block, blk + overlap
+    # elsewhere) must land on checkpoints
+    if blk % 6:
+        raise ValueError(
+            f"pallas streaming needs 6 | block bits (got {blk}); use "
+            f"more data bits per device or use_pallas=False")
+    ckpt = next(d for d in (24, 18, 12, 6)
+                if (blk + C.TAIL_BITS) % d == 0)
+    if ckpt > blk:
+        # e.g. blk=12 -> ckpt=18: the warm-up pass would otherwise die
+        # on an opaque nsteps % ckpt assert inside forward_regs
+        raise ValueError(
+            f"per-device block of {blk} bits is smaller than its "
+            f"checkpoint period {ckpt}; use more data bits per device")
+    overlap += (-(overlap - C.TAIL_BITS)) % ckpt   # ≡ TAIL (mod ckpt)
+    if overlap > blk:
+        if explicit:
+            raise ValueError(
+                f"overlap {overlap} (after checkpoint rounding) exceeds "
+                f"the {blk}-bit per-device block; use more data bits "
+                f"per device or a smaller overlap")
+        # default overlap: align DOWN instead (the clamp above may have
+        # landed between checkpoints)
+        overlap -= ckpt * (-(-(overlap - blk) // ckpt))
+        if overlap < C.TAIL_BITS:
+            raise ValueError(
+                f"per-device block of {blk} bits cannot fit any "
+                f"checkpoint-aligned overlap (ckpt {ckpt}); use more "
+                f"data bits per device")
+    warm = max(ckpt, warm - warm % ckpt)
+    return overlap, warm, ckpt
 
 
 def _auto_use_pallas() -> bool:
@@ -109,65 +172,11 @@ def make_stream_decoder(mesh, stream_bits: int,
     """
     if use_pallas is None:
         use_pallas = _auto_use_pallas()
-    explicit_overlap = overlap is not None
-    if overlap is None:
-        overlap = DEFAULT_OVERLAP
     n_seq = mesh.shape[mesh_mod.SEQ_AXIS]
     assert stream_bits % n_seq == 0
     tb_block = stream_bits // n_seq
-    if tb_block % 8:
-        raise ValueError(
-            f"per-device block of {tb_block} bits is not byte-granular; "
-            f"use more data bits per device (stream_bits {stream_bits} "
-            f"over {n_seq} devices)")
-    if not explicit_overlap and overlap > tb_block:
-        # small per-device blocks: clamp the *default* overlap so short
-        # streams keep working (truncation reliability degrades with the
-        # block size anyway); an explicit overlap that doesn't fit is a
-        # caller error and raises below
-        overlap = tb_block - (tb_block % 2)
-    assert overlap % 2 == 0 and overlap >= C.TAIL_BITS
-    if overlap > tb_block:
-        raise ValueError(
-            f"overlap {overlap} exceeds the {tb_block}-bit per-device "
-            f"block; use more data bits per device or a smaller overlap")
-    warm = min(WARMUP_STEPS if warmup is None else warmup, tb_block)
-
-    ckpt = None
-    if use_pallas:
-        from ..ops import acs_pallas
-        # anchor times (tb_block + TAIL_BITS for the final block,
-        # tb_block + overlap elsewhere) must land on checkpoints
-        if tb_block % 6:
-            raise ValueError(
-                f"pallas streaming needs 6 | block bits (got {tb_block}); "
-                f"use more data bits per device or use_pallas=False")
-        ckpt = next(d for d in (24, 18, 12, 6)
-                    if (tb_block + C.TAIL_BITS) % d == 0)
-        if ckpt > tb_block:
-            # e.g. tb_block=12 -> ckpt=18: the warm-up pass would then
-            # call forward_regs(warm=ckpt > tb_block) and die on an
-            # opaque nsteps % ckpt assert
-            raise ValueError(
-                f"per-device block of {tb_block} bits is smaller than "
-                f"its checkpoint period {ckpt}; use more data bits per "
-                f"device")
-        overlap += (-(overlap - C.TAIL_BITS)) % ckpt  # overlap ≡ 6 (mod ckpt)
-        if overlap > tb_block:
-            if explicit_overlap:
-                raise ValueError(
-                    f"overlap {overlap} (after checkpoint rounding) "
-                    f"exceeds the {tb_block}-bit per-device block; use "
-                    f"more data bits per device or a smaller overlap")
-            # default overlap: align DOWN instead (the clamp above may
-            # have landed between checkpoints)
-            overlap -= ckpt * (-(-(overlap - tb_block) // ckpt))
-            if overlap < C.TAIL_BITS:
-                raise ValueError(
-                    f"per-device block of {tb_block} bits cannot fit "
-                    f"any checkpoint-aligned overlap (ckpt {ckpt}); "
-                    f"use more data bits per device")
-        warm = max(ckpt, warm - warm % ckpt)
+    overlap, warm, ckpt = _plan_block_layout(tb_block, overlap, warmup,
+                                             use_pallas)
 
     right = [(d, d + 1) for d in range(n_seq - 1)]
     left = [(d, d - 1) for d in range(1, n_seq)]
@@ -306,42 +315,10 @@ def make_local_stream_decoder(stream_bits: int, n_blocks: int,
     """
     if use_pallas is None:
         use_pallas = _auto_use_pallas()
-    explicit_overlap = overlap is not None
-    if overlap is None:
-        overlap = DEFAULT_OVERLAP
     assert stream_bits % n_blocks == 0
     blk = stream_bits // n_blocks
-    if blk % 8:
-        raise ValueError(f"per-block size {blk} is not byte-granular")
-    if not explicit_overlap and overlap > blk:
-        overlap = blk - (blk % 2)
-    if overlap % 2 or overlap < C.TAIL_BITS or overlap > blk:
-        raise ValueError(f"bad overlap {overlap} for {blk}-bit blocks")
-    warm = min(WARMUP_STEPS if warmup is None else warmup, blk)
-
-    ckpt = None
-    if use_pallas:
-        from ..ops import acs_pallas
-        if blk % 6:
-            raise ValueError(
-                f"pallas streaming needs 6 | block bits (got {blk})")
-        ckpt = next(d for d in (24, 18, 12, 6)
-                    if (blk + C.TAIL_BITS) % d == 0)
-        if ckpt > blk:
-            raise ValueError(
-                f"{blk}-bit blocks are smaller than checkpoint {ckpt}")
-        overlap += (-(overlap - C.TAIL_BITS)) % ckpt
-        if overlap > blk:
-            if explicit_overlap:
-                raise ValueError(
-                    f"overlap {overlap} (checkpoint-rounded) exceeds "
-                    f"the {blk}-bit block")
-            overlap -= ckpt * (-(-(overlap - blk) // ckpt))
-            if overlap < C.TAIL_BITS:
-                raise ValueError(
-                    f"{blk}-bit blocks cannot fit a checkpoint-aligned "
-                    f"overlap (ckpt {ckpt})")
-        warm = max(ckpt, warm - warm % ckpt)
+    overlap, warm, ckpt = _plan_block_layout(blk, overlap, warmup,
+                                             use_pallas)
 
     def _fwd(syms, nsteps, init, packed=False):
         if use_pallas:

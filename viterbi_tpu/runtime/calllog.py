@@ -219,12 +219,20 @@ class record:
         self.t0 = time.perf_counter()
         return self
 
-    def capture_symbols(self, symbols) -> None:
+    def capture_symbols(self, symbols, source=None) -> None:
+        """``source``: the CALLER's original buffer object when
+        ``symbols`` is a derived view/temporary — buffer-identity
+        churn must track the caller's allocation, not a per-call
+        ``asarray`` temporary (which would report alloc-per-call for a
+        caller that is reusing one buffer). Non-ndarray sources (bytes,
+        lists) have no stable identity and are not tracked."""
         arr = np.asarray(symbols)
         self.nbytes = arr.nbytes
-        # host address of the caller's buffer (the base allocation for
-        # views): feeds the identity-churn stats in the summary
-        self.addr = arr.ctypes.data if arr.size else 0
+        if source is None:
+            source = symbols
+        base = source if isinstance(source, np.ndarray) else None
+        self.addr = base.ctypes.data if base is not None and base.size \
+            else 0
         if _state["enabled"] and _state["symbols"]:
             np.save(os.path.join(_state["sym_dir"],
                                  f"{self.seq:08d}_{self.kind}.npy"), arr)
