@@ -473,14 +473,13 @@ def chainback_words_pallas(decisions: jax.Array, framebits: int,
 
 
 @partial(jax.jit, static_argnames=("emit_bits", "ckpt", "b_tile",
-                                   "interpret", "kc_budget", "offset"))
+                                   "interpret", "kc_budget"))
 def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
                                    anchor_state: jax.Array,
                                    emit_bits: int, ckpt: int,
                                    b_tile: int = 512,
                                    kc_budget: int = 3 * 2**20,
-                                   interpret: bool = False,
-                                   offset: int = 0) -> jax.Array:
+                                   interpret: bool = False) -> jax.Array:
     """Anchored checkpoint walk for block-overlapped streaming
     (VERDICT r4 next #2: the streaming traceback was the slow XLA-scan
     form — this runs the same binary-tournament Pallas walk as the
@@ -491,8 +490,7 @@ def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
     overlap) region, ckpt | nsteps exactly; ``anchor_k``: int32[B]
     checkpoint index where ``anchor_state`` (int32[B]) is injected;
     checkpoints above it hold garbage the emit window never reads.
-    Emits ``emit_bits`` (multiple of 8) decoded bits starting at
-    trellis step ``offset`` (the forward's dead front pad):
+    Emits the first ``emit_bits`` (multiple of 8) decoded bits:
     uint8[B, emit_bits // 8]. Bit-exact vs the XLA-scan anchored walk
     (parallel.streaming tests).
     """
@@ -504,7 +502,7 @@ def chainback_regs_pallas_anchored(regs: jax.Array, anchor_k: jax.Array,
     # argument extends the byte->window map past the emit region so the
     # final emit byte indexes its true window (not a truncated one)
     return _regs_bytes(rs, emit_bits, ckpt, gap=ckpt,
-                       tail=K * ckpt - offset - emit_bits, offset=offset)
+                       tail=K * ckpt - emit_bits)
 
 
 @partial(jax.jit, static_argnames=("framebits", "block"))
