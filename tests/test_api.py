@@ -453,3 +453,33 @@ def test_partial_prefix_write_multidim_noncontiguous():
         assert np.array_equal(out2d[:, j], msgs[j]), f"codeword {j}"
     assert (out2d[:, 3:] == 0xEE).all()
     assert (big[:, rs_dims:] == 0xEE).all()
+
+
+def test_deconvolve_batch_packed_ingest():
+    """deconvolve_batch(packed=True): the host-packed 1-byte/symbol
+    production ingest layout decodes identically to the unpacked call
+    on every variant (fused consumes it natively, others unpack)."""
+    from viterbi_tpu.ops import acs_pallas
+
+    framebits = 96
+    from viterbi_tpu.harness import channel
+    bits, syms = channel.make_frames(3, framebits, seed=19)
+    syms = syms.astype(np.int32)
+    expect = np.stack([golden.deconvolve(framebits, s) for s in syms])
+    packed = acs_pallas.pack_symbols_host(syms)
+
+    cfg_path = config_mod.ensure_config_file()
+    with open(cfg_path, "a") as f:
+        f.write("interpret=1\n")
+    for v in range(4):
+        config_mod.write_variant(v)
+        viterbi_tpu.initialize()
+        ret, out = viterbi_tpu.deconvolve_batch(framebits, packed,
+                                                packed=True)
+        assert ret == 0
+        assert np.array_equal(out, expect), f"variant {v}"
+    # short packed buffer: validation error, not a crash
+    viterbi_tpu.initialize()
+    assert viterbi_tpu.deconvolve_batch(framebits, packed[:, :50],
+                                        packed=True) == (1, None)
+    viterbi_tpu.initialize()

@@ -256,19 +256,57 @@ def deconvolve(framebits: int, symbols, input_length: int = 0,
 
 
 @faults.guarded((_SAFE, None))
-def deconvolve_batch(framebits: int, symbols_batch) -> tuple[int, np.ndarray]:
-    """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, ceil(fb/8)])."""
+def deconvolve_batch(framebits: int, symbols_batch,
+                     packed: bool = False) -> tuple[int, np.ndarray]:
+    """Batched decode: [B, 4*(framebits+6)] -> (0, uint8[B, ceil(fb/8)]).
+
+    ``packed=True`` accepts the host-packed one-int32-per-trellis-step
+    layout instead (int32[B, >= framebits+6], symbol j in byte j —
+    ``ops.acs_pallas.pack_symbols_host``; the layout ``native/vitio.cpp``
+    produces on ingest). It is a byte-reinterpret of the over-the-wire
+    DAB symbol stream and ships 4x fewer bytes per call — the
+    production ingest path. The fused fast path consumes it directly;
+    other variants transparently unpack.
+    """
     if symbols_batch is None:
         raise faults.CrashError("null symbol buffer")
     framebits = int(framebits)
     if framebits <= 0 or framebits > C.MAX_FRAMEBITS:
         raise faults.ValidationError(f"bad framebits {framebits}")
     syms = np.asarray(symbols_batch)
-    if syms.ndim != 2 or syms.shape[1] < C.RATE * (framebits + C.TAIL_BITS):
+    width = ((framebits + C.TAIL_BITS) if packed
+             else C.RATE * (framebits + C.TAIL_BITS))
+    if syms.ndim != 2 or syms.shape[1] < width:
         raise faults.ValidationError("bad symbol batch shape")
-    with calllog.record("deco", framebits=framebits, batch=syms.shape[0]):
-        out = _decode_batch(syms, framebits)
+    with calllog.record("deco", framebits=framebits, batch=syms.shape[0],
+                        packed=int(packed)) as rec:
+        if packed:
+            rec.capture_symbols(syms[:, :width], source=symbols_batch)
+            out = _decode_batch_packed(syms[:, :width], framebits)
+        else:
+            out = _decode_batch(syms, framebits)
     return 0, out
+
+
+def _decode_batch_packed(packed_syms: np.ndarray,
+                         framebits: int) -> np.ndarray:
+    """Packed-ingest dispatch: fused path consumes the packed layout
+    natively (``packed="bt"``); every other variant (and off-grid
+    framebits) unpacks with a host byte-view (zero arithmetic)."""
+    st = dispatch.state()
+    if (dispatch.VARIANTS[st.variant] == "pallas_fused"
+            and framebits % 8 == 0):
+        import jax.numpy as jnp
+
+        from .ops import acs_pallas
+        interpret = st.config.interpret and not (st.caps & dispatch.CAP_TPU)
+        return np.asarray(acs_pallas.decode(
+            jnp.asarray(np.ascontiguousarray(packed_syms,
+                                             dtype=np.int32)),
+            framebits, packed="bt", interpret=interpret))
+    unpacked = np.ascontiguousarray(packed_syms, dtype=np.int32) \
+        .view(np.uint8).reshape(packed_syms.shape[0], -1)
+    return _decode_batch(unpacked, framebits)
 
 
 @faults.guarded(-1)
