@@ -483,3 +483,22 @@ def test_deconvolve_batch_packed_ingest():
     assert viterbi_tpu.deconvolve_batch(framebits, packed[:, :50],
                                         packed=True) == (1, None)
     viterbi_tpu.initialize()
+
+
+def test_pallas_variant_off_grid_framebits_fallback():
+    """The `pallas` rung's decision-word walk needs 24 | framebits; an
+    off-grid size (64) must fall back to the blocked traceback through
+    the real dispatch path, still golden-exact."""
+    framebits = 64
+    rng = np.random.default_rng(23)
+    bits = rng.integers(0, 2, (2, framebits), dtype=np.uint8)
+    syms = np.stack([golden.hard_to_soft(golden.encode(b)) for b in bits])
+    cfg_path = config_mod.ensure_config_file()
+    with open(cfg_path, "a") as f:
+        f.write("interpret=1\n")
+    config_mod.write_variant(2)            # pallas
+    viterbi_tpu.initialize()
+    assert dispatch.state().variant == 2
+    ret, out = viterbi_tpu.deconvolve_batch(framebits, syms)
+    assert ret == 0
+    assert np.array_equal(out, np.packbits(bits, axis=1))
