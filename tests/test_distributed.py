@@ -211,14 +211,21 @@ def test_two_process_streaming_four_deep_ring(tmp_path):
                      local_devices=2)
 
 
-def test_scaling_sweep_runs_and_is_sane():
-    """The scaling sweep (BASELINE config 5) must run on the virtual
-    8-device mesh and report sane efficiencies; the recorded artifact
-    is SCALING_r02.json."""
+def test_scaling_sweep_within_predicted_envelope():
+    """The scaling sweep (BASELINE config 5) on the virtual 8-device
+    mesh must land inside the machine's PREDICTED efficiency envelope
+    (VERDICT r4 weak #6: the old 0.05..1.5 gate verified only that the
+    code ran; the envelope — ~flat total rate once host cores are
+    oversubscribed — is falsifiable: a sharding that serializes and
+    adds per-shard overhead falls below it). Recorded artifact:
+    SCALING_r02.json; the on-pod bounds live in SCALING_MODEL.json."""
     from viterbi_tpu.harness import scaling
     results = scaling.sweep(frames_per_device=4, framebits=192, loops=2)
     assert set(results) == {1, 2, 4, 8}
     assert results[1]["efficiency"] == 1.0
+    total_1 = results[1]["mbit_s"]
     for n, r in results.items():
-        assert r["mbit_s"] > 0
-        assert 0.05 < r["efficiency"] <= 1.5, (n, r)
+        lo, hi = r["predicted_envelope"]
+        assert lo <= r["efficiency"] <= hi, (n, r)
+        # total throughput must not collapse below ~flat as shards grow
+        assert r["mbit_s"] >= 0.85 * total_1, (n, r)
