@@ -27,7 +27,6 @@ mechanism for streams ≫ MAX_FRAMEBITS.
 from __future__ import annotations
 
 import functools
-from functools import partial
 
 import jax
 import jax.numpy as jnp
