@@ -233,3 +233,23 @@ def test_stream_session_tiny_pushes_and_validation():
         s2.push(np.zeros((B, 4), dtype=np.int32))      # odd step count
     with pytest.raises(ValueError, match="tail"):
         s2.flush(np.zeros((B, 7), dtype=np.int32))
+
+
+def test_stream_session_custom_overlap():
+    """A caller-tuned lookahead (overlap=48, the measured-reliable
+    1.5 dB point) still reproduces the one-shot decode at 3 dB."""
+    from viterbi_tpu.parallel import StreamSession
+    framebits, n_frames, B = 768, 6, 2
+    stream_bits = framebits * n_frames
+    bits, syms = channel.make_frames(B, stream_bits, seed=51)
+    syms = syms.astype(np.int32)
+    sess = StreamSession(B, overlap=48, use_pallas=False)
+    outs = []
+    step = 4 * framebits
+    for i in range(0, 4 * stream_bits, step):
+        outs.append(sess.push(syms[:, i:i + step]))
+    outs.append(sess.flush(syms[:, 4 * stream_bits:]))
+    got = np.concatenate(outs, axis=1)
+    assert np.array_equal(got, _whole_stream_decode(syms, stream_bits))
+    with pytest.raises(ValueError, match="overlap"):
+        StreamSession(B, overlap=4)
