@@ -242,3 +242,27 @@ def test_decisions_forward_packed_ingest():
     assert np.array_equal(np.asarray(dec0), np.asarray(dec2))
     assert np.array_equal(np.asarray(met0), np.asarray(met1))
     assert np.array_equal(np.asarray(met0), np.asarray(met2))
+
+
+def test_decisions_kernel_mxu_matches_vpu():
+    """The MXU-assisted decisions kernel (branch-metric expansion +
+    word-packing as exact matmuls, f32 metrics) is bit-identical to
+    the pure-VPU form and to ops.acs, incl. packed ingest."""
+    import jax.numpy as jnp
+    from viterbi_tpu.ops import acs, acs_pallas
+
+    fb = 120
+    ns = fb + C.TAIL_BITS
+    rng = np.random.default_rng(29)
+    syms = rng.integers(0, 256, (5, C.RATE * ns), dtype=np.int64) \
+        .astype(np.int32)
+    d0, m0 = acs.forward(jnp.asarray(syms), ns)
+    for mxu in (False, True):
+        d, m = acs_pallas.forward(jnp.asarray(syms), ns,
+                                  interpret=True, mxu=mxu)
+        assert np.array_equal(np.asarray(d0), np.asarray(d)), mxu
+        assert np.array_equal(np.asarray(m0), np.asarray(m)), mxu
+    pk = acs_pallas.pack_symbols_host(syms)
+    d, m = acs_pallas.forward(jnp.asarray(pk), ns, packed="bt",
+                              interpret=True, mxu=True)
+    assert np.array_equal(np.asarray(d0), np.asarray(d))

@@ -162,11 +162,12 @@ def _kernel(nsteps: int, time_chunk: int, packed: bool, sym_ref, init_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nsteps", "time_chunk", "interpret",
-                                    "b_tile", "packed"))
+                                    "b_tile", "packed", "mxu"))
 def forward(symbols: jax.Array, nsteps: int,
             initial_metrics: jax.Array | None = None,
             time_chunk: int = TIME_CHUNK, interpret: bool = False,
-            b_tile: int = 1024, packed: bool | str = False):
+            b_tile: int = 1024, packed: bool | str = False,
+            mxu: bool = True):
     """Pallas twin of ops.acs.forward.
 
     ``symbols``: [B, >=4*nsteps] int32 — or pre-packed one-int32-per-
@@ -179,6 +180,11 @@ def forward(symbols: jax.Array, nsteps: int,
     grid, full trellis per tile) so large batches stay inside the
     scoped-VMEM budget — B=4096 in one tile measured a 25.7 MB stack
     allocation vs the 16 MB limit (round-4 harness run).
+
+    ``mxu=True`` (default) runs the MXU-assisted kernel (branch-metric
+    expansion + decision word-packing as exact matmuls, f32 metrics —
+    see ``_kernel_mxu``); ``mxu=False`` keeps the pure-VPU form. Both
+    are bit-identical.
     """
     assert nsteps % 2 == 0
     if packed == "bt":
@@ -211,7 +217,9 @@ def forward(symbols: jax.Array, nsteps: int,
         init = jnp.pad(initial_metrics.astype(jnp.int32).T,
                        ((0, 0), (0, Bp - B)), constant_values=63)
 
-    kernel = functools.partial(_kernel, nsteps, time_chunk, packed)
+    mdt = jnp.float32 if mxu else jnp.int32
+    kern = _kernel_mxu if mxu else _kernel
+    kernel = functools.partial(kern, nsteps, time_chunk, packed)
     decisions, fmetrics = pl.pallas_call(
         kernel,
         grid=(nbt, nchunks),  # batch-major: full trellis per batch tile
@@ -228,14 +236,14 @@ def forward(symbols: jax.Array, nsteps: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, 2, Bp), jnp.uint32),
-            jax.ShapeDtypeStruct((64, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((64, Bp), mdt),
         ],
-        scratch_shapes=[pltpu.VMEM((64, bt), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((64, bt), mdt)],
         interpret=interpret,
     )(syms, init)
 
     decisions = decisions[:nsteps, :, :B].transpose(0, 2, 1)
-    return decisions, fmetrics[:, :B].T
+    return decisions, fmetrics[:, :B].astype(jnp.int32).T
 
 
 # ---------------------------------------------------------------------------
@@ -816,6 +824,119 @@ def _kernel_regs(time_chunk: int, ckpt: int, mdt, sym_ref, init_ref,
                                    (metrics[:], regs[:]))
     metrics[:] = mfin
     regs[:] = rfin
+    met_ref[:] = mfin
+
+
+def _kernel_mxu(nsteps: int, time_chunk: int, packed: bool, sym_ref,
+                init_ref, dec_ref, met_ref, metrics):
+    """MXU-assisted decisions kernel: same trellis layout and outputs
+    as ``_kernel`` (natural state order, reference 2xu32 decision
+    words), with three per-step savings:
+
+      * branch metrics computed once on the [8, B] polarity-pattern
+        tile and expanded to the [m; cm] [64, B] rows by a one-hot
+        bf16 matmul (exact: values <= 63) — the expansion rides the
+        otherwise idle MXU (same trick as _kernel_regs_cg_mxu),
+      * decisions packed to words by a [8, 64] weight matmul over
+        16-bit halves (each partial sum < 2^16, exact in f32) instead
+        of a 32-row sublane reduction — and the weight matrix folds in
+        the even/odd interleave, so the decision tensor never needs
+        the stack/reshape shuffle,
+      * path metrics carried in f32 (integers <= 318, exact), skipping
+        per-step int converts of the MXU output.
+
+    Numerics bit-identical to ``_kernel`` / the reference.
+    """
+    B = metrics.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        metrics[:] = init_ref[:].astype(jnp.float32)
+
+    step0 = pl.program_id(1) * time_chunk
+
+    # [8, B] polarity-pattern masks: row r = pattern (p0, p1, p2) =
+    # (bit2, bit1, bit0) of r; x_q = 255 if p_q else 0 (g3 == g0)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    xm8 = [((prow >> (2 - min(q, 2))) & 1) * 255 for q in range(3)]
+    xm8.append(xm8[0])
+
+    # expansion matrix P[64, 16]: row r < 32 one-hot at pat(b=r)
+    # (selects m), row r >= 32 at 8 + pat(r - 32) (selects cm)
+    r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 16), 0)
+    c16 = jax.lax.broadcasted_iota(jnp.int32, (64, 16), 1)
+    b = r64 & 31
+    pat = (jax.lax.population_count((b << 1) & int(C.POLYS[0])) & 1) << 2
+    pat = pat | ((jax.lax.population_count((b << 1) & int(C.POLYS[1]))
+                  & 1) << 1)
+    pat = pat | (jax.lax.population_count((b << 1) & int(C.POLYS[2])) & 1)
+    P = (c16 == pat + jnp.where(r64 >= 32, 8, 0)).astype(jnp.bfloat16)
+
+    # packing matrix W[8, 64] over the un-interleaved [dec_e; dec_o]
+    # layout: dec row r < 32 is state 2r, row r >= 32 is state
+    # 2(r-32)+1; 16-bit half h of the two words covers states
+    # 16h..16h+15 (rows 4..7 zero padding for the MXU tile)
+    h8 = jax.lax.broadcasted_iota(jnp.int32, (8, 64), 0)
+    rW = jax.lax.broadcasted_iota(jnp.int32, (8, 64), 1)
+    sW = jnp.where(rW < 32, 2 * rW, 2 * (rW - 32) + 1)
+    inhalf = (sW >= 16 * h8) & (sW < 16 * (h8 + 1)) & (h8 < 4)
+    # power-of-two weights via integer shifts (values <= 2^15, exact
+    # in bf16); no transcendental in the kernel
+    Wpack = jnp.where(inhalf, 1 << ((sW - 16 * h8) & 15), 0) \
+        .astype(jnp.float32).astype(jnp.bfloat16)
+
+    c255 = jnp.float32(255)
+    c63 = jnp.float32(63)
+
+    def one_step(t, mv):
+        if packed:
+            srow = sym_ref[pl.ds(t, 1)][0]                 # [1, B] i32
+            sq = [(srow >> (8 * q)) & 255 for q in range(4)]
+        else:
+            s4 = sym_ref[pl.ds(t, 1)][0]                   # [4, B]
+            sq = [s4[q][None, :] & 0xFF for q in range(4)]
+        a = [jnp.broadcast_to(sq[q], (8, B)) ^ xm8[q] for q in range(4)]
+        avg = lambda x, y: (x + y + 1) >> 1
+        m8 = avg(avg(a[0], a[1]), avg(a[2], a[3])) >> 2
+        X = jnp.concatenate([m8, 63 - m8], axis=0).astype(jnp.bfloat16)
+        M = jax.lax.dot_general(P, X, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m, cm = M[:32], M[32:]
+        lo, hi = mv[:32], mv[32:]
+        sat = lambda x: jnp.minimum(x, c255)
+        p0e, p1e = sat(lo + m), sat(hi + cm)
+        p0o, p1o = sat(lo + cm), sat(hi + m)
+        # metrics interleave [even; odd] -> natural order (trellis
+        # permutation, unavoidable in the naive geometry)
+        new = jnp.stack([jnp.minimum(p0e, p1e), jnp.minimum(p0o, p1o)],
+                        axis=1).reshape(64, B)
+        # decisions stay un-interleaved; Wpack folds the interleave in
+        dec = jnp.concatenate(
+            [(p1e <= p0e).astype(jnp.bfloat16),
+             (p1o <= p0o).astype(jnp.bfloat16)], axis=0)    # [64, B]
+        halves = jax.lax.dot_general(
+            Wpack, dec, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [8, B]
+        hi_ = halves.astype(jnp.int32)
+        words = jnp.stack([hi_[0] + (hi_[1] << 16),
+                           hi_[2] + (hi_[3] << 16)], axis=0)  # [2, B]
+        return new, jax.lax.bitcast_convert_type(words, jnp.uint32)
+
+    def pair(i, mcur):
+        t0 = 2 * i
+        for sub in range(2):
+            t = t0 + sub
+            live = step0 + t < nsteps
+            new, dwords = one_step(t, mcur)
+            mcur = jnp.where(live, new, mcur)
+            dec_ref[pl.ds(t, 1)] = dwords[None]
+        pair_live = step0 + t0 < nsteps
+        renorm = (mcur[0:1, :] > C.RENORMALIZE_THRESHOLD) & pair_live
+        mcur = jnp.where(renorm, jnp.maximum(mcur - c63, 0.0), mcur)
+        return mcur
+
+    mfin = jax.lax.fori_loop(0, time_chunk // 2, pair, metrics[:])
+    metrics[:] = mfin
     met_ref[:] = mfin
 
 
