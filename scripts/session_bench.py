@@ -42,12 +42,15 @@ def main():
 
     report = {"device": str(jax.devices()[0]), "framebits": framebits,
               "batch": B, "overlap": 120,
-              "note": ("push latency includes this environment's "
-                       "~25-28 ms tunneled-chip per-call floor "
-                       "(LATENCY_TPU.json separates it); an attached "
-                       "chip pays only the compute+transfer share. "
-                       "Each push is one upload + one jitted call + "
-                       "one download; each stream batches B parallel "
+              "note": ("push latency is bound by this environment's "
+                       "tunneled chip: a ~25-28 ms per-call floor "
+                       "(LATENCY_TPU.json) plus the measured ~37 MB/s "
+                       "host->device tunnel bandwidth "
+                       "(SCALING_MODEL.json) on the packed upload. An "
+                       "attached chip (PCIe4 ~16 GB/s) pays <1 ms for "
+                       "the same upload; device compute per push is "
+                       "~1-2 ms. Each push is one upload + one jitted "
+                       "call + one download over B parallel "
                        "subchannels."),
               "chunks": {}}
     for chunk_frames in (1, 5, 32):
