@@ -513,14 +513,14 @@ def chainback_blocked(decisions: jax.Array, framebits: int,
     ``framebits`` must be a multiple of ``block`` (DAB framebits are
     multiples of 24*32; callers pick a compatible block).
 
-    Implementation note: the in-block step axis is walked with
-    ``reverse=True`` scans over ``dynamic_index_in_dim`` rather than
-    ``flip(...).transpose(...)`` prologs — this backend MISCOMPILES the
-    fused 4D flip+transpose of the [nblocks, block, B, 64] predecessor
-    maps for B > 64 (deterministically wrong data; round-4 on-chip
-    minimal reproducer, see docs/KERNELS.md). The reverse-scan form
-    avoids the op entirely and also skips two full-tensor
-    materializations.
+    Implementation note: the in-block step axis is walked with scans
+    over ``dynamic_index_in_dim`` (phase 1 forward, phase 3
+    ``reverse=True``) rather than ``flip(...).transpose(...)`` prologs —
+    this backend MISCOMPILES the fused 4D flip+transpose of the
+    [nblocks, block, B, 64] predecessor maps for B > 64
+    (deterministically wrong data; round-4 on-chip minimal reproducer,
+    see docs/KERNELS.md). The scan form avoids the op entirely and also
+    skips two full-tensor materializations.
     """
     assert framebits % block == 0
     nblocks = framebits // block
@@ -546,25 +546,33 @@ def chainback_blocked(decisions: jax.Array, framebits: int,
 
     # Phase 1: per-block composed map (walking backward within a block),
     # parallel over blocks. comp[n, b, s] = state at block n's start given
-    # state s at block n's end. The permutation gather m[..., c[..., s]]
-    # runs as a one-hot MXU matmul: XLA:TPU lowers take_along_axis here
-    # to a per-element gather measuring ~670 ms per 64-step phase at
-    # B=256 vs ~34 ms for the matmul (round-4 race, exact both ways —
-    # map values <= 63 are exact in bf16 and the one-hot row has a
-    # single nonzero term, so no rounding can occur).
+    # state s at block n's end.
+    #
+    # Association order is the whole trick. The composition
+    # m_t0 . m_t0+1 . ... . m_t0+63 can accumulate either as
+    # step . comp (reverse iteration) or comp . step (forward
+    # iteration). The first indexes the fresh step map BY the
+    # accumulator — a data-dependent 64-way gather per element, which
+    # costs a [.., 64, 64] one-hot matmul on TPU (measured 15.8 ms per
+    # frame batch at B=1024, round 5; the take_along_axis lowering was
+    # 20x worse still, round 4). The second indexes the ACCUMULATOR by
+    # the step map m_t[s] = (s>>1)|(k<<5), which takes only the two
+    # STATIC positions s>>1 and (s>>1)+32 per output lane — so the
+    # whole compose is two static repeats and one select, no one-hot,
+    # no matmul: 2.9 ms for the same batch, bit-identical comp.
     def compose(comp, t):
-        # comp: [nblocks, B, 64]; step t's map: [nblocks, B, 64]
-        oh = (comp[..., None]
-              == jnp.arange(C.NUM_STATES, dtype=jnp.int32)) \
-            .astype(jnp.bfloat16)
-        new = jnp.einsum('nbst,nbt->nbs', oh,
-                         step_map(t).astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        return new.astype(jnp.int32), None
+        # comp: [nblocks, B, 64]; comp_new[s] = comp[m_t[s]]
+        w = jax.lax.dynamic_index_in_dim(dwords, t, axis=1,
+                                         keepdims=False)
+        word = w[..., states >> 5]
+        k = (word >> (states & 31)) & 1
+        lo = jnp.repeat(comp[..., :32], 2, axis=-1)   # comp[s>>1]
+        hi = jnp.repeat(comp[..., 32:], 2, axis=-1)   # comp[(s>>1)+32]
+        return jnp.where(k == 1, hi, lo), None
 
     ident = jnp.broadcast_to(jnp.arange(C.NUM_STATES, dtype=jnp.int32),
                              (nblocks, B, C.NUM_STATES))
-    comp, _ = jax.lax.scan(compose, ident, t_seq, reverse=True)
+    comp, _ = jax.lax.scan(compose, ident, t_seq)
 
     def row_pick(m2, state):
         """m2[r, state[r]] without a gather: masked sum over the
